@@ -1,0 +1,185 @@
+"""High-level solver API: the user-facing equivalent of the reference's
+driver pairs ``[sd]saupd/[sd]seupd`` (symmetric), ``[sd]naupd/[sd]neupd``
+(non-symmetric) and ``[cz]naupd/[cz]neupd`` (complex) — with the reverse
+communication loop replaced by operator callables and the s/d/c/z
+quadruplication replaced by a dtype argument.
+
+Function names follow the scipy.sparse.linalg convention (``eigsh``/
+``eigs``/``svds``), since scipy wraps this exact reference library — making
+signature compatibility a free parity test surface.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+import numpy as np
+
+from .config import IRAMConfig, default_ncv, pad_dim
+from .core.extract import EigenResult, extract
+from .core.iram import IRAMResult, IRAMSolver
+from .ops import operator as op_mod
+from .ops.operator import Operator
+from .utils import dtypes as _dt
+
+
+def _as_operator(A, dtype=None, hermitian=False) -> Operator:
+    """Coerce a user input (Operator | dense array | scipy sparse) into an
+    :class:`Operator` (standard problem, mode 1)."""
+    if isinstance(A, Operator):
+        return A
+    if hasattr(A, "tocsr"):  # scipy sparse
+        from .ops.sparse import from_scipy
+        return from_scipy(A, dtype=dtype, hermitian=hermitian)
+    a = np.asarray(A)
+    if a.ndim == 2:
+        if dtype is not None:
+            a = a.astype(dtype)
+        return op_mod.from_dense(a, n_pad=pad_dim(a.shape[0]),
+                                 hermitian=hermitian)
+    raise TypeError(f"cannot build an Operator from {type(A)!r}")
+
+
+def _solve(op: Operator, cfg: IRAMConfig, v0, return_eigenvectors,
+           return_stats, shift_fn=None):
+    solver = IRAMSolver(op, cfg, shift_fn=shift_fn)
+    res = solver.solve(v0=v0)
+    if res.info < 0:
+        raise ArpackError(res.info)
+    out = extract(op, cfg, res, rvec=return_eigenvectors)
+    if res.info == 1 and out.nconv < cfg.nev:
+        raise ArpackNoConvergence(out, cfg)
+    if return_eigenvectors:
+        ret = (out.values, out.vectors)
+    else:
+        ret = out.values
+    if return_stats:
+        return ret + (out,) if return_eigenvectors else (ret, out)
+    return ret
+
+
+class ArpackError(RuntimeError):
+    """Solver error with the reference's info-code catalog
+    (SRC/dsaupd.f:247-276)."""
+
+    _CODES = {
+        -1: "n must be positive",
+        -2: "nev must be positive",
+        -3: "ncv out of range (need nev < ncv <= n)",
+        -4: "max_iter must be positive",
+        -5: "invalid which",
+        -6: "invalid bmat",
+        -7: "work array too small (not applicable)",
+        -8: "reduced-space eigensolver failed",
+        -9: "starting vector is zero",
+        -9999: "could not build an Arnoldi factorization",
+        -13: "nev and which='BE' incompatible",
+        -14: "did not find enough converged eigenvalues on extraction",
+    }
+
+    def __init__(self, info: int):
+        self.info = info
+        super().__init__(
+            f"ARPACK error {info}: {self._CODES.get(info, 'unknown')}")
+
+
+class ArpackNoConvergence(ArpackError):
+    """Max restarts reached with fewer than nev converged (info = 1)."""
+
+    def __init__(self, partial: EigenResult, cfg: IRAMConfig):
+        self.eigenvalues = partial.values
+        self.eigenvectors = partial.vectors
+        self.info = 1
+        RuntimeError.__init__(
+            self,
+            f"ARPACK error 1: no convergence ({partial.nconv}/{cfg.nev} "
+            f"eigenvalues converged in {cfg.max_iter} restart iterations)")
+
+
+def eigsh(
+    A,
+    k: int = 6,
+    *,
+    M=None,
+    sigma: Optional[float] = None,
+    which: str = "LM",
+    v0=None,
+    ncv: Optional[int] = None,
+    maxiter: Optional[int] = None,
+    tol: float = 0.0,
+    mode: str = "normal",
+    return_eigenvectors: bool = True,
+    return_stats: bool = False,
+    dtype=None,
+    seed: int = 0,
+):
+    """Symmetric/Hermitian eigensolver (dsaupd/dseupd equivalent).
+
+    Modes (reference iparam(7), SRC/dsaupd.f:30-48):
+
+    * ``sigma is None, M is None``   -> mode 1 (regular)
+    * ``sigma is None, M given``     -> mode 2 (regular inverse: inv(M)*A)
+    * ``sigma, mode='normal'``       -> mode 3 (shift-invert)
+    * ``sigma, mode='buckling'``     -> mode 4
+    * ``sigma, mode='cayley'``       -> mode 5
+    """
+    if sigma is not None or mode != "normal" or M is not None:
+        from .ops import transforms
+        op = transforms.build_sym_operator(A, M=M, sigma=sigma, mode=mode,
+                                           dtype=dtype)
+    else:
+        op = _as_operator(A, dtype=dtype, hermitian=True)
+    n = op.n
+    ncv = ncv if ncv is not None else default_ncv(n, k, symmetric=True)
+    cfg = IRAMConfig(
+        n=n, nev=k, ncv=min(ncv, n), which=which, bmat=op.bmat, mode=op.mode,
+        tol=tol, max_iter=maxiter if maxiter is not None else max(300, 10),
+        symmetric=True, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed)
+    return _solve(op, cfg, v0, return_eigenvectors, return_stats)
+
+
+def eigs(
+    A,
+    k: int = 6,
+    *,
+    M=None,
+    sigma: Optional[complex] = None,
+    which: str = "LM",
+    v0=None,
+    ncv: Optional[int] = None,
+    maxiter: Optional[int] = None,
+    tol: float = 0.0,
+    return_eigenvectors: bool = True,
+    return_stats: bool = False,
+    return_schur: bool = False,
+    dtype=None,
+    seed: int = 0,
+):
+    """Non-symmetric / complex eigensolver (dnaupd/dneupd, znaupd/zneupd)."""
+    if sigma is not None or M is not None:
+        from .ops import transforms
+        op = transforms.build_nonsym_operator(A, M=M, sigma=sigma,
+                                              dtype=dtype)
+    else:
+        op = _as_operator(A, dtype=dtype, hermitian=False)
+    n = op.n
+    ncv = ncv if ncv is not None else default_ncv(n, k, symmetric=False)
+    cfg = IRAMConfig(
+        n=n, nev=k, ncv=min(ncv, n), which=which, bmat=op.bmat, mode=op.mode,
+        tol=tol, max_iter=maxiter if maxiter is not None else max(300, 10),
+        symmetric=False, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed)
+    solver = IRAMSolver(op, cfg)
+    res = solver.solve(v0=v0)
+    if res.info < 0:
+        raise ArpackError(res.info)
+    out = extract(op, cfg, res, rvec=return_eigenvectors or return_schur,
+                  howmny="P" if return_schur else "A")
+    if res.info == 1 and out.nconv < cfg.nev:
+        raise ArpackNoConvergence(out, cfg)
+    if return_eigenvectors or return_schur:
+        ret = (out.values, out.vectors)
+    else:
+        ret = out.values
+    if return_stats:
+        return ret + (out,) if (return_eigenvectors or return_schur) \
+            else (ret, out)
+    return ret

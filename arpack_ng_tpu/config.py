@@ -1,0 +1,109 @@
+"""Solver configuration: the typed replacement of arpack-ng's ``iparam``/
+argument-list "config struct" (SRC/dsaupd.f:154-226).
+
+Mapping to the reference:
+
+===========================  =================================================
+reference                    here
+===========================  =================================================
+``nev``                      :attr:`IRAMConfig.nev`
+``ncv``                      :attr:`IRAMConfig.ncv`
+``which`` (2-char string)    :attr:`IRAMConfig.which`
+``bmat`` ('I'/'G')           :attr:`IRAMConfig.bmat`
+``iparam(1)`` ishift         :attr:`IRAMConfig.exact_shifts`
+``iparam(3)`` mxiter         :attr:`IRAMConfig.max_iter`
+``iparam(4)`` nb             (always 1 in the reference; not needed)
+``iparam(7)`` mode 1..5      :attr:`IRAMConfig.mode`
+``tol``                      :attr:`IRAMConfig.tol`
+``info!=0`` (user v0)        ``v0`` argument of the solver entry points
+===========================  =================================================
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from .utils import dtypes as _dt
+
+#: Valid ``which`` selectors, symmetric problems (SRC/dsaupd.f:98-105).
+SYM_WHICH = ("LA", "SA", "LM", "SM", "BE")
+#: Valid ``which`` selectors, non-symmetric/complex (SRC/dnaupd.f:106-111).
+NONSYM_WHICH = ("LM", "SM", "LR", "SR", "LI", "SI")
+
+
+@dataclasses.dataclass(frozen=True)
+class IRAMConfig:
+    """Static configuration of one implicitly-restarted Arnoldi solve."""
+
+    n: int                      # problem dimension (logical, un-padded)
+    nev: int                    # number of eigenvalues wanted
+    ncv: int                    # Krylov subspace dimension (nev < ncv <= n)
+    which: str = "LM"
+    bmat: str = "I"             # 'I' standard, 'G' generalized
+    mode: int = 1               # ARPACK iparam(7): 1..5
+    tol: float = 0.0            # <=0 -> machine eps of dtype (dsaupd.f:546-551)
+    max_iter: int = 300         # max restart cycles (iparam(3))
+    exact_shifts: bool = True   # iparam(1)=1; False -> caller supplies shifts
+    symmetric: bool = False     # use Lanczos semantics (dsaupd vs dnaupd)
+    dtype: np.dtype = np.dtype(np.float32)
+    n_pad: int = 0              # padded dimension actually carried on device
+    seed: int = 0               # PRNG seed for starting/restart vectors
+
+    def __post_init__(self):
+        # Argument validation mirroring dsaupd.f:435-519 / dnaupd.f info codes.
+        if self.n <= 0:
+            raise ValueError("n must be positive (reference info = -1)")
+        if self.nev <= 0:
+            raise ValueError("nev must be positive (reference info = -2)")
+        min_gap = 1 if self.symmetric else 2
+        # dsaupd requires nev < ncv <= n (info=-3); dnaupd ncv-nev >= 2.
+        if not (self.nev + min_gap <= self.ncv <= max(self.n, self.nev + min_gap)):
+            raise ValueError(
+                f"need nev+{min_gap} <= ncv <= n; got nev={self.nev}, "
+                f"ncv={self.ncv}, n={self.n} (reference info = -3)")
+        valid = SYM_WHICH if self.symmetric else NONSYM_WHICH
+        if self.which not in valid:
+            raise ValueError(
+                f"which={self.which!r} invalid; must be one of {valid} "
+                "(reference info = -5)")
+        if self.bmat not in ("I", "G"):
+            raise ValueError("bmat must be 'I' or 'G' (reference info = -6)")
+        if self.max_iter <= 0:
+            raise ValueError("max_iter must be positive (reference info = -4)")
+        if not (1 <= self.mode <= 5):
+            raise ValueError("mode must be 1..5 (reference info = -10)")
+        if self.mode == 1 and self.bmat == "G":
+            raise ValueError("mode 1 requires bmat='I' (reference info = -11)")
+        if self.mode >= 3 and self.bmat == "I" and self.symmetric:
+            # modes 3,4,5 are generalized-problem transforms for sym problems;
+            # shift-invert on a standard problem is allowed (M = I) and is
+            # expressed with bmat='I', mode=3 in the reference drivers too.
+            pass
+        if _dt.is_complex(self.dtype) and self.symmetric:
+            raise ValueError("complex problems have no symmetric driver "
+                             "(reference has no c/z 'saupd')")
+        if self.n_pad == 0:
+            object.__setattr__(self, "n_pad", self.n)
+        if self.n_pad < self.n:
+            raise ValueError("n_pad must be >= n")
+
+    @property
+    def tol_effective(self) -> float:
+        return self.tol if self.tol > 0 else _dt.default_tol(self.dtype)
+
+    @property
+    def eps23(self) -> float:
+        return _dt.eps23(self.dtype)
+
+
+def default_ncv(n: int, nev: int, symmetric: bool) -> int:
+    """Reasonable default subspace size (scipy convention: min(n, max(2k+1, 20)))."""
+    gap = 1 if symmetric else 2
+    return int(min(n, max(2 * nev + 1, 20, nev + gap + 1)))
+
+
+def pad_dim(n: int, multiple: int = 128) -> int:
+    """Round ``n`` up to a TPU-lane-friendly multiple (last-dim tile = 128)."""
+    return int(-(-n // multiple) * multiple)

@@ -1,0 +1,55 @@
+"""Dtype-parametric numerics helpers.
+
+The reference (arpack-ng) quadruplicates every routine over the type prefixes
+``s, d, c, z`` (e.g. ``SRC/dsaupd.f`` / ``ssaupd.f`` / ``cnaupd.f`` /
+``znaupd.f``).  Here the entire framework is dtype-parametric: one
+implementation covers float32/float64/complex64/complex128, with the machine
+constants re-derived per dtype (reference obtains them from LAPACK ``dlamch``,
+e.g. ``SRC/dsaupd.f:550``, ``SRC/dsconv.f:123``).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+#: Machine-epsilon floor exponent used in the ARPACK convergence test
+#: ``bounds(i) <= tol * max(eps23, |ritz(i)|)`` (SRC/dsconv.f:64-69,123).
+EPS23_POW = 2.0 / 3.0
+
+#: The Kahan / Gragg & Reichel re-orthogonalization threshold used by the
+#: DGKS iterative-refinement test in the Arnoldi step
+#: (SRC/dsaitr.f:656 ``if (rnorm .gt. 0.717*wnorm) go to 100``; history in
+#: SRC/version.h:3-7).  sqrt(2)/2 ~ 0.7071; ARPACK hard-codes 0.717.
+DGKS_ETA = 0.717
+
+
+def real_dtype(dtype) -> np.dtype:
+    """Real counterpart of a (possibly complex) dtype."""
+    return np.dtype(jnp.finfo(np.dtype(dtype)).dtype)
+
+
+def is_complex(dtype) -> bool:
+    return np.issubdtype(np.dtype(dtype), np.complexfloating)
+
+
+def eps(dtype) -> float:
+    """Machine epsilon of the *real* dtype underlying ``dtype``.
+
+    Mirrors LAPACK ``dlamch('EpsMach')`` as used at SRC/dsaupd.f:550.
+    """
+    return float(np.finfo(real_dtype(dtype)).eps)
+
+
+def eps23(dtype) -> float:
+    """``eps**(2/3)``: the relative-accuracy floor of the convergence test."""
+    return float(eps(dtype) ** EPS23_POW)
+
+
+def safmin(dtype) -> float:
+    """Smallest safe reciprocal-able number (LAPACK ``dlamch('S')``)."""
+    return float(np.finfo(real_dtype(dtype)).tiny)
+
+
+def default_tol(dtype) -> float:
+    """Default convergence tolerance: machine eps (SRC/dsaupd.f:546-551)."""
+    return eps(dtype)
