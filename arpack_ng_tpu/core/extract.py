@@ -131,6 +131,21 @@ def extract(op: Operator, cfg: IRAMConfig, result: IRAMResult,
         key = reduced.sort_key(cfg.which, theta_all[idx_conv], real_pairs)
         pick = np.argsort(key, kind="stable")[len(idx_conv) - nconv:]
     sel = idx_conv[np.sort(pick)]
+    if real_pairs:
+        # dneupd may return nev+1 eigenvalues to avoid splitting a
+        # conjugate pair at the selection boundary (SRC/dneupd.f remarks;
+        # scipy allocates k+1 slots for exactly this).
+        selset = set(sel.tolist())
+        for i in sel:
+            ti = theta_all[i]
+            if ti.imag == 0:
+                continue
+            partner = np.where(
+                np.isclose(theta_all[idx_conv], np.conj(ti)))[0]
+            if len(partner) and idx_conv[partner[0]] not in selset:
+                sel = np.sort(np.append(sel, idx_conv[partner[0]]))
+                nconv += 1
+                break
 
     if howmny == "S":
         if select is None:
@@ -173,10 +188,10 @@ def extract(op: Operator, cfg: IRAMConfig, result: IRAMResult,
             wanted_vals = theta_all[sel]
 
             def _sort(w_r, w_i=None):
-                w = w_r if w_i is None else w_r + 1j * w_i
-                return np.array([np.min(np.abs(wanted_vals - wi))
-                                 < 1e-8 * max(1.0, np.abs(wi))
-                                 for wi in np.atleast_1d(w)])
+                w = complex(w_r) if w_i is None else complex(w_r) \
+                    + 1j * complex(w_i)
+                return bool(np.min(np.abs(wanted_vals - w))
+                            < 1e-8 * max(1.0, abs(w)))
 
             TT, QQ, sdim = sla.schur(
                 H, output="complex" if is_cplx else "real", sort=_sort)
@@ -190,8 +205,21 @@ def extract(op: Operator, cfg: IRAMConfig, result: IRAMResult,
                 Scols = Scols / np.linalg.norm(Scols, axis=0, keepdims=True)
 
         V = state.V  # (ncv, n_pad) on device
-        Sdev = jnp.asarray(Scols.T.astype(cfg.dtype))  # (nconv, ncv)
-        Z = jax.jit(lambda s, v: s @ v)(Sdev, V)       # (nconv, n_pad)
+        gemm = jax.jit(lambda s, v: s @ v)
+        if (not _dt.is_complex(cfg.dtype)) and np.iscomplexobj(Scols):
+            # real basis, complex reduced eigenvectors (conjugate pairs):
+            # one real GEMM over the stacked [Re; Im] coefficients — the
+            # device-friendly form of dneupd's packed real/imag pair
+            # storage (ICB/arpack.h:13).
+            Sstk = np.concatenate([Scols.real.T, Scols.imag.T], axis=0)
+            Zstk = np.asarray(jax.device_get(
+                gemm(jnp.asarray(Sstk.astype(cfg.dtype)), V)))
+            Zc = Zstk[: Scols.shape[1]] + 1j * Zstk[Scols.shape[1]:]
+            Zh_rows = Zc.astype(np.complex128)
+        else:
+            Sdev = jnp.asarray(Scols.T.astype(cfg.dtype))  # (nconv, ncv)
+            Zh_rows = np.asarray(jax.device_get(gemm(Sdev, V))).astype(
+                host_dtype)
 
         # ---- purification (generalized modes; SRC/dseupd.f:817-843) ----
         if op.mode in (3, 4, 5) and op.bmat == "G" and (howmny != "P"):
@@ -200,8 +228,9 @@ def extract(op: Operator, cfg: IRAMConfig, result: IRAMResult,
                 coef = last / theta
             else:  # buckling
                 coef = last / (theta - 1.0)
-            Z = Z + jnp.asarray(coef.astype(cfg.dtype))[:, None] \
-                * state.resid[None, :]
+            resid_h = np.asarray(jax.device_get(state.resid)).astype(
+                host_dtype)
+            Zh_rows = Zh_rows + coef[:, None] * resid_h[None, :]
 
         # Rayleigh-quotient eigenvalue recovery (non-symmetric complex-shift
         # modes in real arithmetic, reference dndrv5/6 pattern)
@@ -210,24 +239,32 @@ def extract(op: Operator, cfg: IRAMConfig, result: IRAMResult,
                 and op.a_apply is not None and np.iscomplexobj(np.array(sigma)) \
                 and np.array(sigma).imag != 0
         if use_rayleigh and op.a_apply is not None:
-            Zh = np.asarray(jax.device_get(Z)).astype(host_dtype)
+            def _apply_c(fn, z):
+                """Apply a (possibly real-dtype) device matvec to a complex
+                host vector."""
+                if np.iscomplexobj(z) and not _dt.is_complex(cfg.dtype):
+                    re = np.asarray(jax.device_get(
+                        fn(jnp.asarray(z.real.astype(cfg.dtype)))))
+                    im = np.asarray(jax.device_get(
+                        fn(jnp.asarray(z.imag.astype(cfg.dtype)))))
+                    return re + 1j * im
+                return np.asarray(jax.device_get(
+                    fn(jnp.asarray(z.astype(cfg.dtype)))))
+
             lam_rq = np.zeros(nconv, np.complex128)
             for i in range(nconv):
-                z = Zh[i]
-                az = np.asarray(jax.device_get(
-                    op.a_apply(jnp.asarray(z.astype(cfg.dtype))))
-                ).astype(host_dtype)
+                z = Zh_rows[i]
+                az = _apply_c(op.a_apply, z)
                 if op.m_apply is not None and op.bmat == "G":
-                    mz = np.asarray(jax.device_get(
-                        op.m_apply(jnp.asarray(z.astype(cfg.dtype))))
-                    ).astype(host_dtype)
+                    mz = _apply_c(op.m_apply, z)
                 else:
                     mz = z
                 lam_rq[i] = np.vdot(z, az) / np.vdot(z, mz)
             lam = lam_rq
 
-        Zh = np.asarray(jax.device_get(Z))[:, : cfg.n].T  # (n, nconv)
-        vectors = Zh
+        vectors = Zh_rows[:, : cfg.n].T  # (n, nconv)
+        if sym and not _dt.is_complex(cfg.dtype):
+            vectors = vectors.real
 
     return EigenResult(values=lam, vectors=vectors, nconv=nconv, info=info,
                        bounds=lam_bounds, n_iter=result.n_iter,

@@ -45,8 +45,17 @@ from .operator import Operator, _pad_mat_identity, from_dense
 def _dense_inv(mat: np.ndarray, n_pad: int) -> np.ndarray:
     """Host LU -> explicit inverse, identity-padded."""
     m = _pad_mat_identity(np.asarray(mat), n_pad)
-    lu, piv = sla.lu_factor(m)
-    return sla.lu_solve((lu, piv), np.eye(n_pad, dtype=m.dtype))
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        lu, piv = sla.lu_factor(m)
+        inv = sla.lu_solve((lu, piv), np.eye(n_pad, dtype=m.dtype))
+    if not np.all(np.isfinite(inv)):
+        raise ValueError(
+            "A - sigma*M is numerically singular: sigma appears to be an "
+            "eigenvalue; perturb the shift (reference behavior: LAPACK "
+            "factorization info>0 aborts the driver)")
+    return inv
 
 
 def _coerce_dense(A):
