@@ -24,6 +24,7 @@ from .config import IRAMConfig, default_ncv, pad_dim
 from .core.arnoldi import FactorizationState
 from .core.extract import EigenResult, extract
 from .core.iram import IRAMResult, IRAMSolver
+from .core.svd import svds
 from .ops.operator import Operator, from_dense, from_diagonal, from_matvec
 
 __version__ = "0.1.0"
@@ -45,4 +46,5 @@ __all__ = [
     "from_diagonal",
     "from_matvec",
     "pad_dim",
+    "svds",
 ]

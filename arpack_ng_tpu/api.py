@@ -40,8 +40,8 @@ def _as_operator(A, dtype=None, hermitian=False) -> Operator:
 
 
 def _solve(op: Operator, cfg: IRAMConfig, v0, return_eigenvectors,
-           return_stats, shift_fn=None):
-    solver = IRAMSolver(op, cfg, shift_fn=shift_fn)
+           return_stats, shift_fn=None, mesh=None):
+    solver = IRAMSolver(op, cfg, shift_fn=shift_fn, mesh=mesh)
     res = solver.solve(v0=v0)
     if res.info < 0:
         raise ArpackError(res.info)
@@ -111,6 +111,7 @@ def eigsh(
     return_stats: bool = False,
     dtype=None,
     seed: int = 0,
+    mesh=None,
 ):
     """Symmetric/Hermitian eigensolver (dsaupd/dseupd equivalent).
 
@@ -134,7 +135,8 @@ def eigsh(
         n=n, nev=k, ncv=min(ncv, n), which=which, bmat=op.bmat, mode=op.mode,
         tol=tol, max_iter=maxiter if maxiter is not None else max(300, 10),
         symmetric=True, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed)
-    return _solve(op, cfg, v0, return_eigenvectors, return_stats)
+    return _solve(op, cfg, v0, return_eigenvectors, return_stats,
+                  mesh=mesh)
 
 
 def eigs(
@@ -153,6 +155,7 @@ def eigs(
     return_schur: bool = False,
     dtype=None,
     seed: int = 0,
+    mesh=None,
 ):
     """Non-symmetric / complex eigensolver (dnaupd/dneupd, znaupd/zneupd)."""
     if sigma is not None or M is not None:
@@ -167,7 +170,7 @@ def eigs(
         n=n, nev=k, ncv=min(ncv, n), which=which, bmat=op.bmat, mode=op.mode,
         tol=tol, max_iter=maxiter if maxiter is not None else max(300, 10),
         symmetric=False, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed)
-    solver = IRAMSolver(op, cfg)
+    solver = IRAMSolver(op, cfg, mesh=mesh)
     res = solver.solve(v0=v0)
     if res.info < 0:
         raise ArpackError(res.info)

@@ -55,13 +55,14 @@ class IRAMSolver:
     phases once and can run many solves (reentrant, unlike the reference)."""
 
     def __init__(self, op: Operator, cfg: IRAMConfig,
-                 shift_fn: Optional[Callable] = None):
+                 shift_fn: Optional[Callable] = None, mesh=None):
         if op.n != cfg.n:
             raise ValueError("operator/config dimension mismatch")
         if op.bmat != cfg.bmat:
             raise ValueError("operator/config bmat mismatch")
         self.op = op
         self.cfg = cfg
+        self.mesh = mesh
         self.shift_fn = shift_fn  # ido=3 analog (iparam(1)=0 user shifts)
         if not cfg.exact_shifts and shift_fn is None:
             raise ValueError("exact_shifts=False requires a shift_fn")
@@ -71,10 +72,36 @@ class IRAMSolver:
 
         init = make_init(op, cfg)
         extend = make_extend(op, cfg)
-        self._init_rand = jax.jit(lambda key: init(key, None))
-        self._init_v0 = jax.jit(init)
-        self._extend = jax.jit(extend, donate_argnums=(0,))
-        self._tail = jax.jit(self._cycle_tail, donate_argnums=(0,))
+        if mesh is None:
+            self._init_rand = jax.jit(lambda key: init(key, None))
+            self._init_v0 = jax.jit(init)
+            self._extend = jax.jit(extend, donate_argnums=(0,))
+            self._tail = jax.jit(self._cycle_tail, donate_argnums=(0,))
+        else:
+            # Distributed solve: PARPACK-style row partition (see
+            # parallel/sharding.py).  The exact same traced code runs;
+            # sharding annotations make XLA insert the allreduces at the
+            # reference's MPI call sites.
+            from ..parallel.sharding import replicated, state_shardings
+            st_sh = state_shardings(mesh)
+            rep = replicated(mesh)
+            if cfg.n_pad % mesh.devices.size != 0:
+                raise ValueError(
+                    f"n_pad={cfg.n_pad} must be divisible by the mesh size "
+                    f"{mesh.devices.size}")
+            self._init_rand = jax.jit(lambda key: init(key, None),
+                                      in_shardings=(rep,),
+                                      out_shardings=st_sh)
+            self._init_v0 = jax.jit(
+                init, in_shardings=(rep, st_sh.resid),
+                out_shardings=st_sh)
+            self._extend = jax.jit(extend, donate_argnums=(0,),
+                                   in_shardings=(st_sh, rep),
+                                   out_shardings=st_sh)
+            self._tail = jax.jit(
+                self._cycle_tail, donate_argnums=(0,),
+                in_shardings=(st_sh, rep, rep, rep, rep, rep),
+                out_shardings=st_sh)
 
     # -- device phase: rotate basis + update residual after shifts ---------
 
@@ -253,11 +280,15 @@ class IRAMSolver:
 
     # -- full solve (dsaupd RCI loop equivalent) ---------------------------
 
-    def solve(self, key=None, v0=None) -> IRAMResult:
+    def solve(self, key=None, v0=None,
+              state: Optional[FactorizationState] = None) -> IRAMResult:
+        """Full solve; pass ``state`` (e.g. from io.checkpoint.load_state)
+        to resume a previous run mid-factorization."""
         timers = Timers()
         with timers.timed("taupd"):
             with timers.timed("tgetv0"):
-                state = self.init_state(key=key, v0=v0)
+                if state is None:
+                    state = self.init_state(key=key, v0=v0)
             if int(state.info) < 0:
                 return self._make_result(
                     state, np.zeros(self.cfg.ncv), np.zeros(self.cfg.ncv),

@@ -1,0 +1,168 @@
+"""MatrixMarket IO, checkpoint/restart, and CLI tests.
+
+Mirrors: TESTS/dnsimp.f + mmio.f reading testA.mtx (the reference's only
+matrix-file-driven test), arpackSolver dump/restart (arpackSolver.hpp:
+153-154), arpackmm.sh CLI sweeps and issue401.sh --restart regression."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import arpack_ng_tpu as at
+from arpack_ng_tpu import models
+from arpack_ng_tpu.config import IRAMConfig
+from arpack_ng_tpu.core.iram import IRAMSolver
+from arpack_ng_tpu.io import checkpoint as ckpt
+from arpack_ng_tpu.io import matrix_market as mm
+
+from conftest import residual
+
+REF_TESTA = "/root/reference/TESTS/testA.mtx"
+
+
+class TestMatrixMarket:
+    def test_roundtrip(self, tmp_path, rng):
+        a = sp.random(40, 40, density=0.2, random_state=7, format="csr")
+        path = tmp_path / "m.mtx"
+        mm.write_matrix(path, a)
+        b = mm.read_matrix(path)
+        assert (a != b).nnz == 0
+
+    @pytest.mark.skipif(not os.path.exists(REF_TESTA),
+                        reason="reference testA.mtx not available")
+    def test_testA_eigensolve(self):
+        """The dnsimp-on-testA.mtx regression (TESTS/dnsimp.f:192-194):
+        converge non-symmetric eigenpairs of the shipped 50x50 matrix."""
+        op = mm.load_operator(REF_TESTA, dtype=np.float64)
+        assert op.n == 50
+        a = mm.read_matrix(REF_TESTA)
+        vals, vecs = at.eigs(op, k=4, which="LM", ncv=20, tol=1e-10,
+                             maxiter=800)
+        assert residual(a, vals, vecs).max() < 1e-8
+        w = np.linalg.eigvals(a.toarray())
+        wtop = w[np.argsort(np.abs(w))][-len(vals):]
+        np.testing.assert_allclose(np.sort(np.abs(vals)),
+                                   np.sort(np.abs(wtop)), rtol=1e-7)
+
+
+class TestCheckpoint:
+    def test_full_state_resume(self, tmp_path):
+        n = 300
+        d = np.linspace(1, 50, n)
+        op = at.from_diagonal(d, n_pad=at.pad_dim(n))
+        cfg = IRAMConfig(n=n, nev=4, ncv=12, which="LA", symmetric=True,
+                         dtype=np.float64, n_pad=op.n_pad, tol=1e-12,
+                         max_iter=500)
+        solver = IRAMSolver(op, cfg)
+        # run a few cycles, checkpoint, resume, compare with uninterrupted
+        from arpack_ng_tpu.utils.stats import Timers
+        st = solver.init_state()
+        for _ in range(3):
+            st, res = solver.iterate(st, Timers())
+            assert res is None
+        path = tmp_path / "ck.npz"
+        ckpt.save_state(path, st, cfg)
+        st2, meta = ckpt.load_state(path, cfg=cfg)
+        res2 = solver.solve(state=st2)
+        resum = solver.solve(state=st)
+        np.testing.assert_allclose(resum.ritz[:4], res2.ritz[:4],
+                                   rtol=1e-10)
+        assert res2.nconv >= 4
+
+    def test_resid_only_restart(self, tmp_path):
+        """Reference semantics: info!=0 restart from saved resid
+        (SRC/dsaupd.f:130-136)."""
+        n = 200
+        d = np.linspace(1, 30, n)
+        op = at.from_diagonal(d, n_pad=at.pad_dim(n))
+        cfg = IRAMConfig(n=n, nev=3, ncv=10, which="LA", symmetric=True,
+                         dtype=np.float64, n_pad=op.n_pad, tol=1e-10,
+                         max_iter=400)
+        solver = IRAMSolver(op, cfg)
+        res1 = solver.solve()
+        path = tmp_path / "resid.npz"
+        ckpt.save_state(path, res1.state, cfg, save_resid_only=True)
+        st, meta = ckpt.load_state(path)
+        assert st is None and "resid" in meta
+        res2 = solver.solve(v0=meta["resid"])
+        # warm start from a converged residual: very fast re-convergence
+        assert res2.n_iter <= res1.n_iter
+        np.testing.assert_allclose(np.sort(res2.ritz[:3]),
+                                   np.sort(res1.ritz[:3]), rtol=1e-8)
+
+    def test_config_mismatch_rejected(self, tmp_path):
+        n = 100
+        op = at.from_diagonal(np.arange(1.0, n + 1))
+        cfg = IRAMConfig(n=n, nev=3, ncv=10, which="LA", symmetric=True,
+                         dtype=np.float64, n_pad=op.n_pad)
+        solver = IRAMSolver(op, cfg)
+        st = solver.init_state()
+        path = tmp_path / "ck.npz"
+        ckpt.save_state(path, st, cfg)
+        bad = IRAMConfig(n=n, nev=5, ncv=12, which="LA", symmetric=True,
+                         dtype=np.float64, n_pad=op.n_pad)
+        with pytest.raises(ValueError, match="mismatch"):
+            ckpt.load_state(path, cfg=bad)
+
+
+def _run_cli(args, tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [sys.executable, "-m", "arpack_ng_tpu.cli", "--cpu"] + args
+    return subprocess.run(cmd, capture_output=True, text=True, env=env,
+                          cwd="/root/repo", timeout=300)
+
+
+class TestCLI:
+    @pytest.fixture
+    def sym_mtx(self, tmp_path):
+        _, a = models.laplacian_1d(80, dtype=np.float64)
+        p = tmp_path / "lap.mtx"
+        mm.write_matrix(p, a)
+        return str(p)
+
+    def test_sym_solve(self, sym_mtx, tmp_path):
+        r = _run_cli(["--A", sym_mtx, "--nbEV", "3", "--mag", "LA",
+                      "--tol", "1e-8", "--json"], tmp_path)
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["nconv"] >= 3
+        assert max(out["residuals"]) < 1e-6
+
+    def test_shift_invert_cli(self, sym_mtx, tmp_path):
+        r = _run_cli(["--A", sym_mtx, "--nbEV", "2", "--mag", "LM",
+                      "--shiftReal", "0.0", "--invert", "--tol", "1e-8",
+                      "--json"], tmp_path)
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        exact = 2.0 - 2.0 * np.cos(np.pi * np.arange(1, 3) / 81)
+        np.testing.assert_allclose(np.sort(out["values_real"]), exact,
+                                   rtol=1e-5)
+
+    @pytest.mark.skipif(not os.path.exists(REF_TESTA),
+                        reason="reference testA.mtx not available")
+    def test_testA_nonsym_cli(self, tmp_path):
+        r = _run_cli(["--A", REF_TESTA, "--nonSymPb", "--nbEV", "2",
+                      "--mag", "LM", "--tol", "1e-8", "--json"], tmp_path)
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["nconv"] >= 2
+
+    def test_dump_restart_cli(self, sym_mtx, tmp_path):
+        """issue401.sh --restart regression analog."""
+        ck = str(tmp_path / "state.npz")
+        r1 = _run_cli(["--A", sym_mtx, "--nbEV", "3", "--mag", "LA",
+                       "--tol", "1e-8", "--dump", ck, "--json"], tmp_path)
+        assert r1.returncode == 0, r1.stderr[-2000:]
+        r2 = _run_cli(["--A", sym_mtx, "--nbEV", "3", "--mag", "LA",
+                       "--tol", "1e-8", "--restart", ck, "--json"],
+                      tmp_path)
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        o1 = json.loads(r1.stdout.strip().splitlines()[-1])
+        o2 = json.loads(r2.stdout.strip().splitlines()[-1])
+        np.testing.assert_allclose(o1["values_real"], o2["values_real"],
+                                   rtol=1e-7)
