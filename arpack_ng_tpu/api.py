@@ -40,8 +40,8 @@ def _as_operator(A, dtype=None, hermitian=False) -> Operator:
 
 
 def _solve(op: Operator, cfg: IRAMConfig, v0, return_eigenvectors,
-           return_stats, shift_fn=None, mesh=None):
-    solver = IRAMSolver(op, cfg, shift_fn=shift_fn, mesh=mesh)
+           return_stats, shift_fn=None, mesh=None, strategy="auto"):
+    solver = _make_solver(op, cfg, shift_fn, mesh, strategy)
     res = solver.solve(v0=v0)
     if res.info < 0:
         raise ArpackError(res.info)
@@ -55,6 +55,24 @@ def _solve(op: Operator, cfg: IRAMConfig, v0, return_eigenvectors,
     if return_stats:
         return ret + (out,) if return_eigenvectors else (ret, out)
     return ret
+
+
+def _make_solver(op, cfg, shift_fn=None, mesh=None, strategy="auto"):
+    """Pick the execution strategy.
+
+    'fused'  — entire restart cycle as one XLA computation (device
+               reduced space); real symmetric, exact shifts, not 'BE'.
+    'hybrid' — host float64 reduced space (the PARPACK-like split);
+               required for non-symmetric/complex/'BE'/user shifts.
+    """
+    use_fused = (strategy == "fused") or (
+        strategy == "auto" and cfg.symmetric and cfg.which != "BE"
+        and cfg.exact_shifts and shift_fn is None
+        and not _dt.is_complex(cfg.dtype))
+    if use_fused:
+        from .core.device_sym import FusedSymSolver
+        return FusedSymSolver(op, cfg, mesh=mesh)
+    return IRAMSolver(op, cfg, shift_fn=shift_fn, mesh=mesh)
 
 
 class ArpackError(RuntimeError):
@@ -112,6 +130,7 @@ def eigsh(
     dtype=None,
     seed: int = 0,
     mesh=None,
+    strategy: str = "auto",
 ):
     """Symmetric/Hermitian eigensolver (dsaupd/dseupd equivalent).
 
@@ -136,7 +155,7 @@ def eigsh(
         tol=tol, max_iter=maxiter if maxiter is not None else max(300, 10),
         symmetric=True, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed)
     return _solve(op, cfg, v0, return_eigenvectors, return_stats,
-                  mesh=mesh)
+                  mesh=mesh, strategy=strategy)
 
 
 def eigs(

@@ -1,0 +1,288 @@
+"""Fully device-fused symmetric restart cycle — the TPU flagship path.
+
+The hybrid driver (core/iram.py) mirrors the reference's host/device split:
+tiny reduced-space work on host, O(n) on device.  On TPU that costs several
+host<->device round trips per restart cycle.  This module fuses the ENTIRE
+major iteration of dsaup2 — factorization extension (dsaitr), tridiagonal
+eigensolve (dseigt via jnp.linalg.eigh), shift selection (dsgets),
+convergence count (dsconv), implicit-shift QR with accumulated Q (dsapps),
+basis rotation and residual update — into ONE jit-compiled XLA computation.
+The host loop reads back a single scalar (`done`) per cycle.
+
+Reduced-space numerics on device (vs the host float64 path):
+
+* dseigt: ``jnp.linalg.eigh`` of the dense-ified tridiagonal T (ncv tiny);
+  bounds = rnorm * |last eigenvector components| (SRC/dseigt.f:155).
+* dsgets: `which`-keyed sort with the wanted nev in the LAST positions
+  (SRC/dsgets.f:180-186); shifts = leading np entries re-ordered largest
+  Ritz-estimate first (dsgets.f:193-196).  'BE' needs a dynamic split and
+  uses the hybrid path instead.
+* dsapps: per-shift explicit QR of (T - mu I) — orthogonally identical to
+  the bulge chase — as a ``lax.scan`` of ``jnp.linalg.qr`` over a
+  static-length masked shift list; tridiagonal truncation after each
+  shift, deflation sweep (dsapps.f:430-443) and subdiagonal
+  sign-normalization (dsapps.f:396-402) at the end.
+* dynamic nev inflation (dsaup2.f:673-693) and zero-bound shift removal
+  (dsaup2.f:500-516) are computed with masks; all shapes stay static.
+
+Exit protocol: the cycle takes ``is_last``; when the convergence/exit test
+fires (or on the final allowed iteration) the shift application is skipped
+so the state keeps the full kplusp factorization, exactly like dsaup2
+exits before dsapps — extraction then proceeds identically to the hybrid
+path.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import IRAMConfig
+from ..ops.operator import Operator
+from ..utils import dtypes as _dt
+from ..utils.stats import SolverStats, Timers
+from . import reduced
+from .arnoldi import FactorizationState, _bnorm, make_extend, make_init
+from .iram import IRAMResult
+
+
+def _which_key(which: str, vals):
+    """Device sort key: ascending order puts the WANTED nev last
+    (dsortr convention as used by dsgets)."""
+    if which == "LA":
+        return vals
+    if which == "SA":
+        return -vals
+    if which == "LM":
+        return jnp.abs(vals)
+    if which == "SM":
+        return -jnp.abs(vals)
+    raise ValueError(f"device path does not support which={which!r}")
+
+
+class CycleOut(NamedTuple):
+    state: FactorizationState
+    done: jax.Array      # bool: exit condition fired (excl. maxiter)
+    nconv: jax.Array     # int32
+    ritz_s: jax.Array    # (ncv,) which-sorted Ritz values (wanted last)
+    bounds_s: jax.Array  # (ncv,) matching bounds
+
+
+def make_sym_cycle(op: Operator, cfg: IRAMConfig):
+    """Build the jitted fused cycle: (state, is_last) -> CycleOut."""
+    if not cfg.symmetric or _dt.is_complex(cfg.dtype):
+        raise ValueError("fused cycle is for real symmetric problems")
+    if cfg.which == "BE":
+        raise ValueError("which='BE' uses the hybrid path")
+    ncv, nev0 = cfg.ncv, cfg.nev
+    np0 = ncv - nev0
+    rdt = _dt.real_dtype(cfg.dtype)
+    tol = jnp.asarray(cfg.tol_effective, rdt)
+    eps23 = jnp.asarray(cfg.eps23, rdt)
+    eps_m = jnp.asarray(_dt.eps(cfg.dtype), rdt)
+    extend = make_extend(op, cfg)
+    is_g = op.bmat == "G"
+    iota = jnp.arange(ncv)
+
+    def cycle(state: FactorizationState, is_last) -> CycleOut:
+        state = extend(state, jnp.int32(ncv))
+
+        # ---- dseigt: Ritz values + bounds of the tridiagonal ----
+        d = jnp.diag(state.H).real.astype(rdt)
+        e = jnp.diag(state.H, -1).real.astype(rdt)
+        T = (jnp.diag(d) + jnp.diag(e, 1) + jnp.diag(e, -1))
+        evals, S = jnp.linalg.eigh(T)
+        bounds = jnp.abs(state.rnorm * S[ncv - 1, :]).astype(rdt)
+
+        # ---- dsgets: wanted last ----
+        order = jnp.argsort(_which_key(cfg.which, evals))
+        r_s, b_s = evals[order], bounds[order]
+
+        # ---- dsconv over the nev0 wanted ----
+        wanted, wb = r_s[np0:], b_s[np0:]
+        nconv = jnp.sum(
+            wb <= tol * jnp.maximum(eps23, jnp.abs(wanted))
+        ).astype(jnp.int32)
+
+        # ---- zero-bound unwanted (cannot be shifted away) ----
+        nz = jnp.sum(b_s[:np0] == 0).astype(jnp.int32)
+        np_eff = jnp.int32(np0) - nz
+        nev_eff = jnp.int32(nev0) + nz
+
+        done = (nconv >= nev0) | (np_eff == 0)
+
+        # ---- stagnation guard: nev inflation (dsaup2.f:673-693) ----
+        nev_inf = nev_eff + jnp.minimum(nconv, np_eff // 2)
+        nev_inf = jnp.where((nev_inf == 1) & (ncv >= 6), ncv // 2,
+                            jnp.where((nev_inf == 1) & (ncv > 3), 2,
+                                      nev_inf))
+        nev_eff = jnp.minimum(nev_inf, ncv - 1)
+        np_eff = jnp.int32(ncv) - nev_eff
+
+        def apply_shifts(args):
+            state, r_s, b_s, nev_eff, np_eff = args
+            # shifts: leading np_eff of the sorted array, ordered by
+            # descending Ritz estimate; masked-out slots get +inf key and
+            # are skipped in the chase.
+            active0 = iota < np_eff
+            skey = jnp.where(active0[:np0], -jnp.abs(b_s[:np0]),
+                             jnp.asarray(jnp.inf, rdt))
+            sperm = jnp.argsort(skey)
+            shifts = r_s[:np0][sperm]
+            active = active0[:np0]  # after sort: first np_eff still active
+            eyek = jnp.eye(ncv, dtype=rdt)
+
+            def chase(carry, inp):
+                Tc, Qc = carry
+                mu, act = inp
+
+                def do(TQ):
+                    Tc, Qc = TQ
+                    q, _ = jnp.linalg.qr(Tc - mu * eyek)
+                    Tn = q.T @ Tc @ q
+                    dn = jnp.diag(Tn)
+                    en = 0.5 * (jnp.diag(Tn, 1) + jnp.diag(Tn, -1))
+                    Tn = (jnp.diag(dn) + jnp.diag(en, 1)
+                          + jnp.diag(en, -1))
+                    return Tn, Qc @ q
+
+                return lax.cond(act, do, lambda TQ: TQ, (Tc, Qc)), None
+
+            (Tc, Q), _ = lax.scan(chase, (T, eyek), (shifts, active))
+            dn = jnp.diag(Tc)
+            en = jnp.diag(Tc, -1)
+            # deflation sweep (dsapps.f:430-443)
+            big = jnp.abs(dn[:-1]) + jnp.abs(dn[1:])
+            en = jnp.where(jnp.abs(en) <= eps_m * big,
+                           jnp.zeros_like(en), en)
+            # subdiagonal sign normalization via diagonal similarity
+            sgn = jnp.where(en >= 0, 1.0, -1.0).astype(rdt)
+            phi = jnp.concatenate([jnp.ones((1,), rdt), jnp.cumprod(sgn)])
+            en = jnp.abs(en)
+            Q = Q * phi[None, :]
+            H_new = (jnp.diag(dn) + jnp.diag(en, 1)
+                     + jnp.diag(en, -1)).astype(cfg.dtype)
+
+            sigmak = Q[ncv - 1, nev_eff - 1].astype(cfg.dtype)
+            betak = jnp.where(nev_eff < ncv, en[nev_eff - 1],
+                              jnp.zeros((), rdt)).astype(cfg.dtype)
+            VQ = Q.astype(cfg.dtype).T @ state.V
+            v_next = lax.dynamic_index_in_dim(VQ, nev_eff, axis=0,
+                                              keepdims=False)
+            resid = sigmak * state.resid + betak * v_next
+            b_resid = op.b_apply(resid) if is_g else resid
+            counts = state.counts.add(
+                nbx=jnp.int32(1 if is_g else 0))
+            rnorm = _bnorm(resid, b_resid).astype(rdt)
+            return state._replace(V=VQ, H=H_new, resid=resid,
+                                  b_resid=b_resid, rnorm=rnorm, k=nev_eff,
+                                  nev_cur=nev_eff, iter=state.iter + 1,
+                                  counts=counts)
+
+        def skip_shifts(args):
+            state = args[0]
+            return state._replace(iter=state.iter + 1)
+
+        state = lax.cond(done | is_last, skip_shifts, apply_shifts,
+                         (state, r_s, b_s, nev_eff, np_eff))
+        return CycleOut(state=state, done=done, nconv=nconv, ritz_s=r_s,
+                        bounds_s=b_s)
+
+    return cycle
+
+
+class FusedSymSolver:
+    """dsaupd-equivalent driver over the fused device cycle.
+
+    API-compatible with IRAMSolver.solve(); one host sync per restart
+    cycle (the `done` scalar)."""
+
+    def __init__(self, op: Operator, cfg: IRAMConfig, mesh=None):
+        self.op, self.cfg, self.mesh = op, cfg, mesh
+        if not cfg.exact_shifts:
+            raise ValueError("fused path requires exact shifts")
+        init = make_init(op, cfg)
+        cycle = make_sym_cycle(op, cfg)
+        if mesh is None:
+            self._init_rand = jax.jit(lambda key: init(key, None))
+            self._init_v0 = jax.jit(init)
+            self._cycle = jax.jit(cycle, donate_argnums=(0,))
+        else:
+            from ..parallel.sharding import replicated, state_shardings
+            st_sh = state_shardings(mesh)
+            rep = replicated(mesh)
+            if cfg.n_pad % mesh.devices.size != 0:
+                raise ValueError("n_pad must divide the mesh size")
+            self._init_rand = jax.jit(lambda key: init(key, None),
+                                      in_shardings=(rep,),
+                                      out_shardings=st_sh)
+            self._init_v0 = jax.jit(init, in_shardings=(rep, st_sh.resid),
+                                    out_shardings=st_sh)
+            self._cycle = jax.jit(
+                cycle, donate_argnums=(0,),
+                in_shardings=(st_sh, rep),
+                out_shardings=CycleOut(state=st_sh, done=rep, nconv=rep,
+                                       ritz_s=rep, bounds_s=rep))
+
+    def init_state(self, key=None, v0=None) -> FactorizationState:
+        if key is None:
+            key = jax.random.key(self.cfg.seed)
+        if v0 is None:
+            return self._init_rand(key)
+        v0 = np.asarray(v0)
+        if v0.shape[0] == self.cfg.n and self.cfg.n_pad != self.cfg.n:
+            v0p = np.zeros((self.cfg.n_pad,), v0.dtype)
+            v0p[: self.cfg.n] = v0
+            v0 = v0p
+        return self._init_v0(key, jnp.asarray(v0, self.cfg.dtype))
+
+    def solve(self, key=None, v0=None, state=None) -> IRAMResult:
+        cfg = self.cfg
+        timers = Timers()
+        with timers.timed("taupd"):
+            if state is None:
+                with timers.timed("tgetv0"):
+                    state = self.init_state(key=key, v0=v0)
+            if int(jax.device_get(state.info)) < 0:
+                z = np.zeros(cfg.ncv)
+                return self._result(state, z, z, 0, int(state.info), 0,
+                                    timers)
+            out = None
+            it = 0
+            while True:
+                it += 1
+                is_last = jnp.bool_(it >= cfg.max_iter)
+                with timers.timed("taitr"):
+                    out = self._cycle(state, is_last)
+                    state = out.state
+                    done = bool(jax.device_get(out.done))
+                info = int(jax.device_get(state.info))
+                if info != 0:
+                    return self._result(state, np.zeros(cfg.ncv),
+                                        np.zeros(cfg.ncv), 0,
+                                        -9999 if info > 0 else info, it,
+                                        timers)
+                if done or it >= cfg.max_iter:
+                    break
+        nconv = int(jax.device_get(out.nconv))
+        r_s = np.asarray(jax.device_get(out.ritz_s), dtype=np.float64)
+        b_s = np.asarray(jax.device_get(out.bounds_s), dtype=np.float64)
+        r_x, b_x = reduced.exit_sort(cfg.which, cfg.nev, nconv, r_s.copy(),
+                                     b_s.copy(), cfg.eps23, True, False)
+        info = 0
+        if it >= cfg.max_iter and nconv < cfg.nev:
+            info = 1
+        np_rem = int(np.count_nonzero(b_s[: cfg.ncv - cfg.nev] == 0))
+        if (cfg.ncv - cfg.nev - np_rem) == 0 and nconv < cfg.nev:
+            info = 2
+        return self._result(state, r_x, b_x, nconv, info, it, timers)
+
+    def _result(self, state, ritz, bounds, nconv, info, n_iter, timers
+                ) -> IRAMResult:
+        stats = SolverStats(n_iter=n_iter, n_conv=nconv, timers=timers)
+        stats.absorb_counts(jax.device_get(state.counts))
+        return IRAMResult(ritz=ritz, bounds=bounds, nconv=nconv, info=info,
+                          n_iter=n_iter, state=state, stats=stats)

@@ -29,8 +29,7 @@ def main():
 
     from arpack_ng_tpu import models
     from arpack_ng_tpu.config import IRAMConfig
-    from arpack_ng_tpu.core.iram import IRAMSolver
-    from arpack_ng_tpu.utils.stats import Timers
+    from arpack_ng_tpu.core.device_sym import FusedSymSolver
 
     nx = 1024                      # n = 1,048,576
     ncv, nev = 32, 8
@@ -40,13 +39,12 @@ def main():
     cfg = IRAMConfig(n=op.n, nev=nev, ncv=ncv, which="LA", symmetric=True,
                      dtype=np.dtype(dtype), n_pad=op.n_pad, tol=1e-30,
                      max_iter=10_000)
-    solver = IRAMSolver(op, cfg)
+    solver = FusedSymSolver(op, cfg)
 
-    # warmup: init + one full cycle (compiles extend + tail)
+    # warmup: init + one full fused cycle (compiles everything)
     state = solver.init_state()
-    tm = Timers()
-    state, res = solver.iterate(state, tm)
-    assert res is None or res.info >= 0
+    out = solver._cycle(state, jnp.bool_(False))
+    state = out.state
     state.rnorm.block_until_ready()
 
     # timed: fixed number of restart cycles (tol unreachable)
@@ -54,9 +52,8 @@ def main():
     nopx0 = int(jax.device_get(state.counts).nopx)
     t0 = time.perf_counter()
     for _ in range(cycles):
-        state, res = solver.iterate(state, tm)
-        if res is not None:
-            break
+        out = solver._cycle(state, jnp.bool_(False))
+        state = out.state
     state.rnorm.block_until_ready()
     dt = time.perf_counter() - t0
     nopx1 = int(jax.device_get(state.counts).nopx)

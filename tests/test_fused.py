@@ -1,0 +1,63 @@
+"""Fused-device vs hybrid-host strategy cross-validation: the two
+execution paths of the same algorithm must agree (the framework's
+self-verification analog of the reference's MPI-vs-sequential agreement)."""
+import numpy as np
+import pytest
+
+import arpack_ng_tpu as at
+from arpack_ng_tpu import models
+
+
+@pytest.mark.parametrize("which", ["LA", "SA", "LM", "SM"])
+def test_fused_matches_hybrid(which):
+    n = 200
+    rng = np.random.default_rng(3)
+    d = np.sort(rng.uniform(0.5, 80.0, n))
+    op = at.from_diagonal(d, n_pad=at.pad_dim(n))
+    v0 = rng.standard_normal(n)
+    kw = dict(k=4, which=which, ncv=16, tol=1e-10, maxiter=600, v0=v0,
+              return_eigenvectors=False)
+    vals_f = at.eigsh(op, strategy="fused", **kw)
+    vals_h = at.eigsh(op, strategy="hybrid", **kw)
+    np.testing.assert_allclose(np.sort(vals_f), np.sort(vals_h),
+                               rtol=1e-9)
+
+
+def test_fused_stencil_residual():
+    nx = 14
+    op, a_sp = models.laplacian_2d(nx, dtype=np.float64)
+    vals, vecs = at.eigsh(op, k=5, which="LA", ncv=22, tol=1e-10,
+                          maxiter=500, strategy="fused")
+    for i in range(5):
+        r = np.linalg.norm(a_sp @ vecs[:, i] - vals[i] * vecs[:, i])
+        assert r < 1e-8
+
+
+def test_fused_generalized_mode3():
+    import scipy.sparse as sp
+    n = 120
+    a = sp.diags([-np.ones(n - 1), 2 * np.ones(n), -np.ones(n - 1)],
+                 [-1, 0, 1]).toarray()
+    m = (sp.diags([np.ones(n - 1), 4 * np.ones(n), np.ones(n - 1)],
+                  [-1, 0, 1]) / 6.0).toarray()
+    kw = dict(k=3, M=m, sigma=1.0, which="LM", tol=1e-10, maxiter=500,
+              return_eigenvectors=False)
+    vals_f = at.eigsh(a, strategy="fused", **kw)
+    vals_h = at.eigsh(a, strategy="hybrid", **kw)
+    np.testing.assert_allclose(np.sort(vals_f), np.sort(vals_h),
+                               rtol=1e-8)
+
+
+def test_fused_rejects_be():
+    from arpack_ng_tpu.config import IRAMConfig
+    from arpack_ng_tpu.core.device_sym import make_sym_cycle
+    op = at.from_diagonal(np.arange(1.0, 101.0))
+    cfg = IRAMConfig(n=100, nev=4, ncv=12, which="BE", symmetric=True,
+                     dtype=np.float64, n_pad=op.n_pad)
+    with pytest.raises(ValueError, match="BE"):
+        make_sym_cycle(op, cfg)
+    # but the api auto-routes BE to the hybrid path
+    vals = at.eigsh(op, k=4, which="BE", tol=1e-10,
+                    return_eigenvectors=False)
+    np.testing.assert_allclose(np.sort(vals), [1.0, 2.0, 99.0, 100.0],
+                               rtol=1e-9)
