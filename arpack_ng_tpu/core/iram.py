@@ -179,8 +179,8 @@ class IRAMSolver:
                 beta = np.zeros(kplusp)
                 if kplusp > 1:
                     beta[: kplusp - 1] = np.diag(H, -1).real
-                ritz, bounds, _ = reduced.sym_eigt(alpha, beta[: kplusp - 1],
-                                                   rnorm)
+                ritz, bounds, _ = reduced.sym_eigt(
+                    alpha, beta[: kplusp - 1], rnorm, need_vectors=False)
             else:
                 ritz, bounds, _ = reduced.nonsym_eigt(H, rnorm)
         trace(debug.maup2, 1, "_aup2: eigenvalues of H", ritz)

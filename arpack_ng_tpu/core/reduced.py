@@ -30,10 +30,12 @@ basis update ``V <- Q^T V`` and the residual update are device GEMMs
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import scipy.linalg as sla
+
+from .. import native as _native
 
 # --------------------------------------------------------------------------
 # sorts (dsortr / dsortc / zsortc)
@@ -85,24 +87,33 @@ def sortc_order(which: str, vals: np.ndarray, real_pairs: bool) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def sym_eigt(alpha: np.ndarray, beta: np.ndarray, rnorm: float
-             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def sym_eigt(alpha: np.ndarray, beta: np.ndarray, rnorm: float,
+             need_vectors: bool = True
+             ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Eigenvalues of the tridiagonal T and Ritz-estimate bounds.
 
     dseigt (SRC/dseigt.f:155) calls dstqrb, a modified dsteqr returning all
     eigenvalues plus only the LAST component of each eigenvector
-    (SRC/dstqrb.f:6-11); bounds = rnorm * |last component|.  Host LAPACK
-    computes full eigenvectors (same O(k^3), k tiny) and we keep S for the
-    extraction phase.
+    (SRC/dstqrb.f:6-11); bounds = rnorm * |last component|.  The native
+    C++ kernel (native/src/reduced.cc, atpu_stqrb_d) implements exactly
+    that last-row tracking; the scipy fallback computes full eigenvectors.
 
-    Returns (ritz ascending, bounds, S eigenvector matrix).
+    Returns (ritz ascending, bounds, S or None when need_vectors=False).
     """
     k = alpha.shape[0]
     if k == 1:
         return alpha.copy(), np.array([abs(rnorm)]), np.ones((1, 1))
+    if _native.available():
+        if need_vectors:
+            ritz, S = _native.steqr(np.asarray(alpha, np.float64),
+                                    np.asarray(beta, np.float64))
+            return ritz, np.abs(rnorm * S[-1, :]), S
+        ritz, bounds = _native.stqrb(np.asarray(alpha, np.float64),
+                                     np.asarray(beta, np.float64), rnorm)
+        return ritz, bounds, None
     ritz, S = sla.eigh_tridiagonal(alpha, beta[: k - 1])
     bounds = np.abs(rnorm * S[-1, :])
-    return ritz, bounds, S
+    return ritz, bounds, (S if need_vectors else None)
 
 
 def nonsym_eigt(H: np.ndarray, rnorm: float
@@ -227,6 +238,12 @@ def sym_shift_q(alpha: np.ndarray, beta: np.ndarray, shifts: np.ndarray,
     Returns (alpha', beta', Q) with beta' >= 0.
     """
     k = alpha.shape[0]
+    if _native.available():
+        # native implicit Givens chase: block-aware like dsapps (exactly
+        # one QR step per shift per unreduced block)
+        return _native.sym_shift_q(np.asarray(alpha, np.float64),
+                                   np.asarray(beta, np.float64),
+                                   np.asarray(shifts, np.float64))
     T = np.diag(alpha.astype(np.float64))
     if k > 1:
         T += np.diag(beta[: k - 1].astype(np.float64), 1)

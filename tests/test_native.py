@@ -1,0 +1,76 @@
+"""Native C++ reduced-space kernel tests (native/src/reduced.cc vs
+scipy/LAPACK oracles) — the framework's L0-layer validation."""
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+from arpack_ng_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+def _tridiag(rng, n):
+    alpha = rng.standard_normal(n)
+    beta = np.abs(rng.standard_normal(n - 1)) + 0.1
+    T = np.diag(alpha) + np.diag(beta, 1) + np.diag(beta, -1)
+    return alpha, beta, T
+
+
+class TestStqrb:
+    @pytest.mark.parametrize("n", [2, 5, 24, 60])
+    def test_matches_lapack(self, rng, n):
+        alpha, beta, _ = _tridiag(rng, n)
+        w_ref, S_ref = sla.eigh_tridiagonal(alpha, beta)
+        d, bounds = native.stqrb(alpha, beta, 2.5)
+        np.testing.assert_allclose(d, w_ref, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(bounds, 2.5 * np.abs(S_ref[-1, :]),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_clustered(self, rng):
+        # near-degenerate spectrum
+        alpha = np.ones(30)
+        beta = np.full(29, 1e-9)
+        d, bounds = native.stqrb(alpha, beta, 1.0)
+        np.testing.assert_allclose(d, np.sort(
+            sla.eigh_tridiagonal(alpha, beta)[0]), atol=1e-12)
+
+
+class TestSteqr:
+    def test_full_decomposition(self, rng):
+        alpha, beta, T = _tridiag(rng, 32)
+        d, S = native.steqr(alpha, beta)
+        np.testing.assert_allclose(T @ S, S @ np.diag(d), atol=1e-12)
+        np.testing.assert_allclose(S.T @ S, np.eye(32), atol=1e-12)
+
+
+class TestSymShiftQ:
+    def test_single_shift_equals_explicit_qr(self, rng):
+        n = 12
+        alpha, beta, T = _tridiag(rng, n)
+        mu = 0.37
+        Qx, _ = np.linalg.qr(T - mu * np.eye(n))
+        Tx = Qx.T @ T @ Qx
+        d, e, Qn = native.sym_shift_q(alpha, beta, np.array([mu]))
+        np.testing.assert_allclose(np.diag(Tx), d, atol=1e-12)
+        np.testing.assert_allclose(np.abs(np.diag(Tx, -1)),
+                                   np.abs(e[: n - 1]), atol=1e-12)
+
+    def test_multi_shift_similarity(self, rng):
+        n = 24
+        alpha, beta, T = _tridiag(rng, n)
+        w = np.sort(sla.eigh_tridiagonal(alpha, beta)[0])
+        shifts = w[:8]
+        d, e, Q = native.sym_shift_q(alpha, beta, shifts)
+        # orthogonal similarity + subdiagonal sign convention
+        np.testing.assert_allclose(Q.T @ Q, np.eye(n), atol=1e-12)
+        Tc = Q.T @ T @ Q
+        np.testing.assert_allclose(np.diag(Tc), d, atol=1e-10)
+        assert np.all(e >= 0)
+        # exact shifts purge their eigenvalues from the leading block:
+        # the retained leading (n-8) block's spectrum approximates the
+        # non-shifted eigenvalues
+        lead = np.diag(d[: n - 8]) + np.diag(e[: n - 9], 1) \
+            + np.diag(e[: n - 9], -1)
+        wl = np.sort(np.linalg.eigvalsh(lead))
+        np.testing.assert_allclose(wl, w[8:], atol=1e-6)
