@@ -194,28 +194,72 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
     return cycle
 
 
+def make_sym_multi_cycle(op: Operator, cfg: IRAMConfig):
+    """Run up to ``n_cycles`` restart cycles in ONE device dispatch: a
+    ``lax.while_loop`` over the fused cycle that exits as soon as the
+    convergence test fires.  The whole dsaup2 restart loop thus executes
+    on-device with zero host involvement — the design endpoint of
+    replacing reverse communication with traced operators (and it
+    amortizes per-dispatch latency, which dominates on remote-attached
+    TPUs)."""
+    cycle = make_sym_cycle(op, cfg)
+    ncv = cfg.ncv
+    rdt = _dt.real_dtype(cfg.dtype)
+
+    def multi(state: FactorizationState, n_cycles, iter_limit) -> CycleOut:
+        out0 = CycleOut(state=state, done=jnp.bool_(False),
+                        nconv=jnp.int32(0),
+                        ritz_s=jnp.zeros((ncv,), rdt),
+                        bounds_s=jnp.zeros((ncv,), rdt))
+
+        def cond(c):
+            out, j = c
+            return ((~out.done) & (j < n_cycles)
+                    & (out.state.iter < iter_limit)
+                    & (out.state.info == 0))
+
+        def body(c):
+            out, j = c
+            is_last = out.state.iter + 1 >= iter_limit
+            return cycle(out.state, is_last), j + 1
+
+        out, _ = lax.while_loop(cond, body, (out0, jnp.int32(0)))
+        return out
+
+    return multi
+
+
 class FusedSymSolver:
     """dsaupd-equivalent driver over the fused device cycle.
 
     API-compatible with IRAMSolver.solve(); one host sync per restart
     cycle (the `done` scalar)."""
 
-    def __init__(self, op: Operator, cfg: IRAMConfig, mesh=None):
+    def __init__(self, op: Operator, cfg: IRAMConfig, mesh=None,
+                 cycles_per_dispatch: int = 16):
         self.op, self.cfg, self.mesh = op, cfg, mesh
+        #: restart cycles executed per device dispatch (the on-device
+        #: while_loop exits early on convergence, so large values cost
+        #: nothing extra beyond coarser host-side progress visibility)
+        self.cycles_per_dispatch = cycles_per_dispatch
         if not cfg.exact_shifts:
             raise ValueError("fused path requires exact shifts")
         init = make_init(op, cfg)
         cycle = make_sym_cycle(op, cfg)
+        multi = make_sym_multi_cycle(op, cfg)
         if mesh is None:
             self._init_rand = jax.jit(lambda key: init(key, None))
             self._init_v0 = jax.jit(init)
             self._cycle = jax.jit(cycle, donate_argnums=(0,))
+            self._multi = jax.jit(multi, donate_argnums=(0,))
         else:
             from ..parallel.sharding import replicated, state_shardings
             st_sh = state_shardings(mesh)
             rep = replicated(mesh)
             if cfg.n_pad % mesh.devices.size != 0:
                 raise ValueError("n_pad must divide the mesh size")
+            out_sh = CycleOut(state=st_sh, done=rep, nconv=rep,
+                              ritz_s=rep, bounds_s=rep)
             self._init_rand = jax.jit(lambda key: init(key, None),
                                       in_shardings=(rep,),
                                       out_shardings=st_sh)
@@ -223,9 +267,10 @@ class FusedSymSolver:
                                     out_shardings=st_sh)
             self._cycle = jax.jit(
                 cycle, donate_argnums=(0,),
-                in_shardings=(st_sh, rep),
-                out_shardings=CycleOut(state=st_sh, done=rep, nconv=rep,
-                                       ritz_s=rep, bounds_s=rep))
+                in_shardings=(st_sh, rep), out_shardings=out_sh)
+            self._multi = jax.jit(
+                multi, donate_argnums=(0,),
+                in_shardings=(st_sh, rep, rep), out_shardings=out_sh)
 
     def init_state(self, key=None, v0=None) -> FactorizationState:
         if key is None:
@@ -252,13 +297,14 @@ class FusedSymSolver:
                                     timers)
             out = None
             it = 0
+            chunk = self.cycles_per_dispatch
             while True:
-                it += 1
-                is_last = jnp.bool_(it >= cfg.max_iter)
                 with timers.timed("taitr"):
-                    out = self._cycle(state, is_last)
+                    out = self._multi(state, jnp.int32(chunk),
+                                      jnp.int32(cfg.max_iter))
                     state = out.state
                     done = bool(jax.device_get(out.done))
+                it = int(jax.device_get(state.iter))
                 info = int(jax.device_get(state.info))
                 if info != 0:
                     return self._result(state, np.zeros(cfg.ncv),

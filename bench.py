@@ -50,22 +50,29 @@ def main():
                      max_iter=10_000)
     solver = FusedSymSolver(op, cfg)
 
-    # warmup: init + one full fused cycle (compiles everything)
+    # warmup: init + one multi-cycle dispatch (compiles everything).
+    # NOTE: this TPU is remote-attached; per-dispatch round-trip latency is
+    # tens of ms, so the benchmark (like the production path) runs the
+    # whole restart loop on device in ONE dispatch and forces completion
+    # with a scalar readback.
     state = solver.init_state()
-    out = solver._cycle(state, jnp.bool_(False))
+    out = solver._multi(state, jnp.int32(2), jnp.int32(10_000))
     state = out.state
-    state.rnorm.block_until_ready()
+    float(jax.device_get(state.rnorm))
 
-    # timed: fixed number of restart cycles (tol unreachable)
-    cycles = 8
-    nopx0 = int(jax.device_get(state.counts).nopx)
-    nopx_warm_ro = int(jax.device_get(state.counts).nrorth)
+    # timed: fixed number of restart cycles (tol unreachable) in a single
+    # on-device while_loop dispatch
+    cycles = 40
+    counts0 = jax.device_get(state.counts)
+    nopx0 = int(counts0.nopx)
+    nopx_warm_ro = int(counts0.nrorth)
+    iter0 = int(jax.device_get(state.iter))
     t0 = time.perf_counter()
-    for _ in range(cycles):
-        out = solver._cycle(state, jnp.bool_(False))
-        state = out.state
-    state.rnorm.block_until_ready()
+    out = solver._multi(state, jnp.int32(cycles), jnp.int32(10_000))
+    state = out.state
+    float(jax.device_get(state.rnorm))   # forces execution through relay
     dt = time.perf_counter() - t0
+    cycles = int(jax.device_get(state.iter)) - iter0
     nopx1 = int(jax.device_get(state.counts).nopx)
     n_matvecs = max(nopx1 - nopx0, 1)
 
