@@ -131,6 +131,7 @@ def eigsh(
     seed: int = 0,
     mesh=None,
     strategy: str = "auto",
+    storage_dtype=None,
 ):
     """Symmetric/Hermitian eigensolver (dsaupd/dseupd equivalent).
 
@@ -153,7 +154,8 @@ def eigsh(
     cfg = IRAMConfig(
         n=n, nev=k, ncv=min(ncv, n), which=which, bmat=op.bmat, mode=op.mode,
         tol=tol, max_iter=maxiter if maxiter is not None else max(300, 10),
-        symmetric=True, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed)
+        symmetric=True, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed,
+        storage_dtype=storage_dtype)
     return _solve(op, cfg, v0, return_eigenvectors, return_stats,
                   mesh=mesh, strategy=strategy)
 

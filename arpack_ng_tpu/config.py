@@ -50,6 +50,12 @@ class IRAMConfig:
     dtype: np.dtype = np.dtype(np.float32)
     n_pad: int = 0              # padded dimension actually carried on device
     seed: int = 0               # PRNG seed for starting/restart vectors
+    storage_dtype: object = None  # optional low-precision basis storage
+    #   (e.g. jnp.bfloat16): V is stored narrow, every contraction
+    #   accumulates in `dtype` (preferred_element_type) — halves the
+    #   dominant HBM traffic of the orthogonalization at a documented
+    #   accuracy cost (residual floor ~ ||A|| * eps(storage)).  A TPU-
+    #   native capability with no reference equivalent.
 
     def __post_init__(self):
         # Argument validation mirroring dsaupd.f:435-519 / dnaupd.f info codes.

@@ -104,6 +104,8 @@ def make_init(op: Operator, cfg: IRAMConfig):
     """
     ncv, n_pad, n = cfg.ncv, cfg.n_pad, cfg.n
     dtype = jnp.dtype(cfg.dtype)
+    sdt = jnp.dtype(cfg.storage_dtype) if cfg.storage_dtype is not None \
+        else dtype
     rdt = _dt.real_dtype(dtype)
     is_g = op.bmat == "G"
 
@@ -128,7 +130,7 @@ def make_init(op: Operator, cfg: IRAMConfig):
         # SRC/dsaup2.f:332-341).
         info = jnp.where(rnorm > 0, jnp.int32(0), jnp.int32(-9))
         return FactorizationState(
-            V=jnp.zeros((ncv, n_pad), dtype),
+            V=jnp.zeros((ncv, n_pad), sdt),
             H=jnp.zeros((ncv, ncv), dtype),
             resid=resid,
             b_resid=b_resid,
@@ -154,6 +156,11 @@ def make_extend(op: Operator, cfg: IRAMConfig):
     """
     ncv, n_pad, n = cfg.ncv, cfg.n_pad, cfg.n
     dtype = jnp.dtype(cfg.dtype)
+    sdt = jnp.dtype(cfg.storage_dtype) if cfg.storage_dtype is not None \
+        else dtype
+    mixed = sdt != dtype
+    if mixed and _dt.is_complex(dtype):
+        raise ValueError("storage_dtype is supported for real dtypes only")
     rdt = _dt.real_dtype(dtype)
     is_g = op.bmat == "G"
     eta = jnp.asarray(_dt.DGKS_ETA, rdt)
@@ -162,6 +169,22 @@ def make_extend(op: Operator, cfg: IRAMConfig):
 
     b_apply = (lambda r: op.b_apply(r)) if is_g else (lambda r: r)
     nbx1 = jnp.int32(1 if is_g else 0)
+
+    def _proj(V, w):
+        """(ncv,) projection coefficients V^H w, accumulated in `dtype`
+        even when V is stored narrow (mixed-precision orthogonalization:
+        narrow reads, wide accumulate via preferred_element_type)."""
+        if not mixed:
+            return V.conj() @ w
+        return lax.dot_general(V, w.astype(sdt), (((1,), (0,)), ((), ())),
+                               preferred_element_type=dtype)
+
+    def _comb(h, V):
+        """(n,) combination h @ V with wide accumulation."""
+        if not mixed:
+            return h @ V
+        return lax.dot_general(h.astype(sdt), V, (((0,), (0,)), ((), ())),
+                               preferred_element_type=dtype)
 
     def _orth_refine(V, nmask_lt, r, br, rn_prev, max_iter):
         """Shared CGS + iterative-refinement loop (dgetv0 flavor): repeatedly
@@ -173,8 +196,8 @@ def make_extend(op: Operator, cfg: IRAMConfig):
 
         def body(c):
             r, br, rn_prev, nbx_done, it, _ = c
-            s = jnp.where(nmask_lt, V.conj() @ br, jnp.zeros((), dtype))
-            r = r - s @ V
+            s = jnp.where(nmask_lt, _proj(V, br), jnp.zeros((), dtype))
+            r = r - _comb(s, V)
             br = b_apply(r)
             rn = _bnorm(r, br).astype(rdt)
             ok = rn > eta * rn_prev
@@ -248,7 +271,7 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             inv = (jnp.ones((), rdt) / jnp.maximum(st.rnorm, tiny)).astype(rdt)
             v_j = st.resid * inv
             bv_j = st.b_resid * inv if is_g else v_j
-            V = lax.dynamic_update_slice(st.V, v_j[None, :],
+            V = lax.dynamic_update_slice(st.V, v_j.astype(sdt)[None, :],
                                          (j, jnp.zeros((), j.dtype)))
             # STEP 3: w = OP v_j, with bw = B w (or A v for mode 2).
             w, bw = op.apply(v_j, bv_j)
@@ -260,8 +283,8 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             # first j+1 rows) — the two dgemv calls of SRC/dsaitr.f:570-583
             # as full static-shape contractions.
             nmask_le = col_idx <= j
-            h = jnp.where(nmask_le, V.conj() @ bw, jnp.zeros((), dtype))
-            r = w - h @ V
+            h = jnp.where(nmask_le, _proj(V, bw), jnp.zeros((), dtype))
+            r = w - _comb(h, V)
             # Extend H: column j gets the projection coefficients; the
             # subdiagonal H[j, j-1] is beta_{j-1} = previous rnorm
             # (zero after an invariant-subspace restart).
@@ -287,8 +310,8 @@ def make_extend(op: Operator, cfg: IRAMConfig):
 
             def dgks_body(c):
                 r, br, rn_prev, s_tot, passes, nfail, _ = c
-                s = jnp.where(nmask_le, V.conj() @ br, jnp.zeros((), dtype))
-                r = r - s @ V
+                s = jnp.where(nmask_le, _proj(V, br), jnp.zeros((), dtype))
+                r = r - _comb(s, V)
                 br = b_apply(r)
                 rn = _bnorm(r, br).astype(rdt)
                 s_tot = s_tot + s

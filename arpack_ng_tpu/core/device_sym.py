@@ -169,9 +169,13 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
             sigmak = Q[ncv - 1, nev_eff - 1].astype(cfg.dtype)
             betak = jnp.where(nev_eff < ncv, en[nev_eff - 1],
                               jnp.zeros((), rdt)).astype(cfg.dtype)
-            VQ = Q.astype(cfg.dtype).T @ state.V
+            sdt = state.V.dtype
+            VQ = lax.dot_general(
+                Q.astype(sdt).T, state.V, (((1,), (0,)), ((), ())),
+                preferred_element_type=cfg.dtype).astype(sdt)
             v_next = lax.dynamic_index_in_dim(VQ, nev_eff, axis=0,
-                                              keepdims=False)
+                                              keepdims=False
+                                              ).astype(cfg.dtype)
             resid = sigmak * state.resid + betak * v_next
             b_resid = op.b_apply(resid) if is_g else resid
             counts = state.counts.add(

@@ -111,8 +111,9 @@ class IRAMSolver:
         (SRC/dsapps.f:452-501, SRC/dsaup2.f:764-808): V <- Q^T V,
         r <- sigmak*r + betak*(V Q)_{kev+1}, then rnorm = ||r||_B."""
         op = self.op
-        VQ = Q.T @ state.V                       # (ncv,ncv)@(ncv,n): MXU GEMM
-        v_next = jax.lax.dynamic_index_in_dim(VQ, kev, axis=0, keepdims=False)
+        VQ = (Q.T @ state.V).astype(state.V.dtype)  # (ncv,ncv)@(ncv,n) GEMM
+        v_next = jax.lax.dynamic_index_in_dim(
+            VQ, kev, axis=0, keepdims=False).astype(self.cfg.dtype)
         resid = sigmak * state.resid + betak * v_next
         if op.bmat == "G":
             b_resid = op.b_apply(resid)
