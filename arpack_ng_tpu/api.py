@@ -46,7 +46,7 @@ def _solve(op: Operator, cfg: IRAMConfig, v0, return_eigenvectors,
     if res.info < 0:
         raise ArpackError(res.info)
     out = extract(op, cfg, res, rvec=return_eigenvectors)
-    if res.info == 1 and out.nconv < cfg.nev:
+    if res.info in (1, 2) and out.nconv < cfg.nev:
         raise ArpackNoConvergence(out, cfg)
     if return_eigenvectors:
         ret = (out.values, out.vectors)
@@ -197,7 +197,7 @@ def eigs(
         raise ArpackError(res.info)
     out = extract(op, cfg, res, rvec=return_eigenvectors or return_schur,
                   howmny="P" if return_schur else "A")
-    if res.info == 1 and out.nconv < cfg.nev:
+    if res.info in (1, 2) and out.nconv < cfg.nev:
         raise ArpackNoConvergence(out, cfg)
     if return_eigenvectors or return_schur:
         ret = (out.values, out.vectors)
