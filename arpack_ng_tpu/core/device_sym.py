@@ -282,6 +282,9 @@ class FusedSymSolver:
         if v0 is None:
             return self._init_rand(key)
         v0 = np.asarray(v0)
+        if getattr(self.op, "perm", None) is not None \
+                and v0.shape[0] == self.cfg.n:
+            v0 = v0[np.asarray(self.op.perm)]
         if v0.shape[0] == self.cfg.n and self.cfg.n_pad != self.cfg.n:
             v0p = np.zeros((self.cfg.n_pad,), v0.dtype)
             v0p[: self.cfg.n] = v0

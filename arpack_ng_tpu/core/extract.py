@@ -265,6 +265,12 @@ def extract(op: Operator, cfg: IRAMConfig, result: IRAMResult,
         vectors = Zh_rows[:, : cfg.n].T  # (n, nconv)
         if sym and not _dt.is_complex(cfg.dtype):
             vectors = vectors.real
+        if op.perm is not None:
+            # unwind the bandwidth-reduction permutation: internal row i
+            # holds logical coordinate perm[i]
+            unperm = np.empty_like(vectors)
+            unperm[np.asarray(op.perm)] = vectors
+            vectors = unperm
 
     return EigenResult(values=lam, vectors=vectors, nconv=nconv, info=info,
                        bounds=lam_bounds, n_iter=result.n_iter,

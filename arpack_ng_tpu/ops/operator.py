@@ -52,6 +52,11 @@ class Operator:
     n_pad: int = 0                  # padded dimension (0 => n)
     sigma: complex = 0.0            # spectral-transform shift (modes 3-5)
     hermitian: bool = False         # A (and M) hermitian/symmetric
+    perm: object = None             # optional bandwidth-reduction row
+    #   permutation (np.ndarray): the operator acts on PERMUTED
+    #   coordinates (internal i holds logical perm[i]); the solver
+    #   permutes v0 in and un-permutes eigenvectors out, so users see
+    #   logical coordinates throughout.
 
     def __post_init__(self):
         if self.n_pad == 0:
