@@ -50,6 +50,8 @@ class IRAMConfig:
     dtype: np.dtype = np.dtype(np.float32)
     n_pad: int = 0              # padded dimension actually carried on device
     seed: int = 0               # PRNG seed for starting/restart vectors
+    safe_norms: bool = False    # overflow-safe two-phase norms (pdnorm2
+    #   analog, PARPACK/SRC/MPI/pdnorm2.f:70-80); costs one extra pass
     storage_dtype: object = None  # optional low-precision basis storage
     #   (e.g. jnp.bfloat16): V is stored narrow, every contraction
     #   accumulates in `dtype` (preferred_element_type) — halves the

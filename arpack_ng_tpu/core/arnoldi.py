@@ -80,6 +80,26 @@ def _bnorm(r, br):
     return jnp.sqrt(jnp.abs(jnp.vdot(r, br)))
 
 
+def make_bnorm(op: Operator, cfg: IRAMConfig):
+    """Norm closure.  With ``cfg.safe_norms`` and a standard problem this
+    is the overflow-safe two-phase global 2-norm of PARPACK's pdnorm2
+    (allreduce-MAX of |x|, then allreduce-SUM of scaled squares,
+    PARPACK/SRC/MPI/pdnorm2.f:70-80) — under jit-with-shardings the max
+    and the dot each lower to one collective, exactly the two phases."""
+    if not (cfg.safe_norms and op.bmat == "I"):
+        return _bnorm
+    tiny = _dt.safmin(cfg.dtype)
+
+    def bnorm(r, br):
+        m = jnp.max(jnp.abs(r))
+        msafe = jnp.maximum(m, tiny)
+        scaled = r / msafe
+        nrm = msafe * jnp.sqrt(jnp.abs(jnp.vdot(scaled, scaled)))
+        return jnp.where(m > 0, nrm, jnp.zeros_like(nrm))
+
+    return bnorm
+
+
 def _random_vector(key, n_pad, n, dtype):
     """Uniform(-1,1) start vector (dlarnv idist=2, SRC/dgetv0.f:224-229),
     zero on the pad so the Krylov space never activates padded coordinates."""
@@ -108,6 +128,7 @@ def make_init(op: Operator, cfg: IRAMConfig):
         else dtype
     rdt = _dt.real_dtype(dtype)
     is_g = op.bmat == "G"
+    bnorm = make_bnorm(op, cfg)
 
     def init(key, v0: Optional[jax.Array] = None) -> FactorizationState:
         counts = OpCounts.zeros()
@@ -125,7 +146,7 @@ def make_init(op: Operator, cfg: IRAMConfig):
         resid = w
         b_resid = op.b_apply(resid) if is_g else resid
         counts = counts.add(nbx=jnp.int32(1 if is_g else 0))
-        rnorm = _bnorm(resid, b_resid).astype(rdt)
+        rnorm = bnorm(resid, b_resid).astype(rdt)
         # rnorm == 0 here is the reference's info = -9 (zero starting vector,
         # SRC/dsaup2.f:332-341).
         info = jnp.where(rnorm > 0, jnp.int32(0), jnp.int32(-9))
@@ -169,6 +190,7 @@ def make_extend(op: Operator, cfg: IRAMConfig):
 
     b_apply = (lambda r: op.b_apply(r)) if is_g else (lambda r: r)
     nbx1 = jnp.int32(1 if is_g else 0)
+    bnorm = make_bnorm(op, cfg)
 
     def _proj(V, w):
         """(ncv,) projection coefficients V^H w, accumulated in `dtype`
@@ -199,7 +221,7 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             s = jnp.where(nmask_lt, _proj(V, br), jnp.zeros((), dtype))
             r = r - _comb(s, V)
             br = b_apply(r)
-            rn = _bnorm(r, br).astype(rdt)
+            rn = bnorm(r, br).astype(rdt)
             ok = rn > eta * rn_prev
             fail = (~ok) & (it + 1 >= max_iter)
             status = jnp.where(ok, jnp.int32(1),
@@ -242,7 +264,7 @@ def make_extend(op: Operator, cfg: IRAMConfig):
 
             r, dop, dbx = lax.cond(itry == 0, with_op, without_op, r)
             br = b_apply(r)
-            rn0 = _bnorm(r, br).astype(rdt)
+            rn0 = bnorm(r, br).astype(rdt)
             r, br, rn, nbx_done, ok = _orth_refine(
                 V=st.V, nmask_lt=nmask_lt, r=r, br=br, rn_prev=rn0,
                 max_iter=_MAX_GETV0_REFINE + 1)
@@ -278,7 +300,7 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             counts = counts.add(
                 nopx=jnp.int32(1),
                 nbx=jnp.int32(1 if (is_g and op.mode != 2) else 0))
-            wnorm = _bnorm(w, bw).astype(rdt)
+            wnorm = bnorm(w, bw).astype(rdt)
             # STEP 4: classical Gram-Schmidt against all of V (masked to the
             # first j+1 rows) — the two dgemv calls of SRC/dsaitr.f:570-583
             # as full static-shape contractions.
@@ -298,7 +320,7 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             # ORTH1: B-norm of the new residual.
             br = b_apply(r)
             counts = counts.add(nbx=nbx1)
-            rnorm = _bnorm(r, br).astype(rdt)
+            rnorm = bnorm(r, br).astype(rdt)
 
             # STEP 5: DGKS iterative refinement (SRC/dsaitr.f:656-781).
             needs = rnorm <= eta * wnorm
@@ -313,7 +335,7 @@ def make_extend(op: Operator, cfg: IRAMConfig):
                 s = jnp.where(nmask_le, _proj(V, br), jnp.zeros((), dtype))
                 r = r - _comb(s, V)
                 br = b_apply(r)
-                rn = _bnorm(r, br).astype(rdt)
+                rn = bnorm(r, br).astype(rdt)
                 s_tot = s_tot + s
                 accept = rn > eta * rn_prev
                 give_up = (~accept) & (passes + 1 >= _MAX_DGKS_PASSES)

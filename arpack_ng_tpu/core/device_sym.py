@@ -45,7 +45,8 @@ from ..ops.operator import Operator
 from ..utils import dtypes as _dt
 from ..utils.stats import SolverStats, Timers
 from . import reduced
-from .arnoldi import FactorizationState, _bnorm, make_extend, make_init
+from .arnoldi import (FactorizationState, make_bnorm, make_extend,
+                      make_init)
 from .iram import IRAMResult
 
 
@@ -86,6 +87,7 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
     extend = make_extend(op, cfg)
     is_g = op.bmat == "G"
     iota = jnp.arange(ncv)
+    bnorm = make_bnorm(op, cfg)
 
     def cycle(state: FactorizationState, is_last) -> CycleOut:
         state = extend(state, jnp.int32(ncv))
@@ -180,7 +182,7 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
             b_resid = op.b_apply(resid) if is_g else resid
             counts = state.counts.add(
                 nbx=jnp.int32(1 if is_g else 0))
-            rnorm = _bnorm(resid, b_resid).astype(rdt)
+            rnorm = bnorm(resid, b_resid).astype(rdt)
             return state._replace(V=VQ, H=H_new, resid=resid,
                                   b_resid=b_resid, rnorm=rnorm, k=nev_eff,
                                   nev_cur=nev_eff, iter=state.iter + 1,

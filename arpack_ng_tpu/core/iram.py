@@ -33,7 +33,8 @@ from ..utils import dtypes as _dt
 from ..utils.debug import debug, trace
 from ..utils.stats import SolverStats, Timers
 from . import reduced
-from .arnoldi import FactorizationState, _bnorm, make_extend, make_init
+from .arnoldi import (FactorizationState, make_bnorm, make_extend,
+                      make_init)
 
 
 @dataclasses.dataclass
@@ -121,7 +122,7 @@ class IRAMSolver:
         else:
             b_resid = resid
             counts = state.counts
-        rnorm = _bnorm(resid, b_resid).astype(self._rdt)
+        rnorm = make_bnorm(op, self.cfg)(resid, b_resid).astype(self._rdt)
         return state._replace(V=VQ, H=H_new, resid=resid, b_resid=b_resid,
                               rnorm=rnorm, k=kev, nev_cur=kev,
                               iter=state.iter + 1, counts=counts)

@@ -169,3 +169,35 @@ class TestIterativeSolve:
         vals, vecs = at.eigs(siop, k=cfgk, which="LM", tol=1e-8,
                              maxiter=300)
         assert residual(a, vals, vecs).max() < 1e-6
+
+
+class TestComplexGeneralized:
+    """zndrv3/zndrv4-class: complex generalized problems (mode 2 and
+    complex shift-invert mode 3 with a mass matrix)."""
+
+    def test_complex_gen_mode2(self, rng):
+        n = 100
+        a = (rng.standard_normal((n, n))
+             + 1j * rng.standard_normal((n, n))) / np.sqrt(n)
+        m = np.eye(n) + 0.1 * sp.diags(
+            [np.ones(n - 1), np.ones(n - 1)], [-1, 1]).toarray()
+        m = m.astype(np.complex128)
+        vals, vecs = at.eigs(a.astype(np.complex128), k=4, M=m,
+                             which="LM", tol=1e-10, maxiter=800)
+        assert residual(a, vals, vecs, m).max() < 1e-7
+
+    def test_complex_gen_shift_invert(self, rng):
+        n = 100
+        a = (rng.standard_normal((n, n))
+             + 1j * rng.standard_normal((n, n))) / np.sqrt(n)
+        m = (np.eye(n) + 0.1 * sp.diags(
+            [np.ones(n - 1), np.ones(n - 1)], [-1, 1]).toarray()
+        ).astype(np.complex128)
+        sigma = 0.2 - 0.1j
+        vals, vecs = at.eigs(a.astype(np.complex128), k=3, M=m,
+                             sigma=sigma, which="LM", tol=1e-10)
+        assert residual(a, vals, vecs, m).max() < 1e-7
+        import scipy.linalg
+        w = scipy.linalg.eig(a, m, right=False)
+        closest = w[np.argmin(np.abs(w - sigma))]
+        assert np.min(np.abs(vals - closest)) < 1e-7

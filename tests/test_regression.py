@@ -174,3 +174,42 @@ class TestSweep:
                         maxiter=800)
         assert residual(a, vals, vecs,
                         m if m is not None else None).max() < 1e-6
+
+
+class TestSafeNorms:
+    """pdnorm2-analog overflow-safe two-phase norms
+    (PARPACK/SRC/MPI/pdnorm2.f:70-80)."""
+
+    def test_extreme_scale_f32(self):
+        # entries ~1e25: |x|^2 overflows f32 (max ~3.4e38); the scaled
+        # two-phase norm survives where the plain vdot would inf out
+        import jax.numpy as jnp
+        from arpack_ng_tpu.config import IRAMConfig
+        from arpack_ng_tpu.core.arnoldi import make_bnorm
+        n = 256
+        op = at.from_diagonal(np.ones(n, np.float32))
+        cfg = IRAMConfig(n=n, nev=2, ncv=8, which="LA", symmetric=True,
+                         dtype=np.float32, n_pad=n, safe_norms=True)
+        bnorm = make_bnorm(op, cfg)
+        x = jnp.full((n,), 1e25, jnp.float32)
+        nrm = float(bnorm(x, x))
+        assert np.isfinite(nrm)
+        np.testing.assert_allclose(nrm, 1e25 * np.sqrt(n), rtol=1e-5)
+        # plain norm overflows
+        plain = float(jnp.sqrt(jnp.abs(jnp.vdot(x, x))))
+        assert not np.isfinite(plain)
+
+    def test_solve_with_safe_norms(self):
+        from arpack_ng_tpu.config import IRAMConfig
+        from arpack_ng_tpu.core.device_sym import FusedSymSolver
+        from arpack_ng_tpu.core.extract import extract
+        n = 200
+        d = np.linspace(1, 50, n)
+        op = at.from_diagonal(d, n_pad=at.pad_dim(n))
+        cfg = IRAMConfig(n=n, nev=3, ncv=12, which="LA", symmetric=True,
+                         dtype=np.float64, n_pad=op.n_pad, tol=1e-10,
+                         max_iter=400, safe_norms=True)
+        res = FusedSymSolver(op, cfg).solve()
+        out = extract(op, cfg, res)
+        np.testing.assert_allclose(np.sort(out.values), np.sort(d)[-3:],
+                                   rtol=1e-9)
