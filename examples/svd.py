@@ -1,0 +1,22 @@
+"""dsvd equivalent (EXAMPLES/SVD/dsvd.f): leading singular triplets via
+Lanczos on the normal equations.
+
+Run:  python examples/svd.py
+"""
+import numpy as np
+
+import arpack_ng_tpu as at
+
+
+def main(m=500, n=120, k=5):
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((m, n))
+    u, s, vh = at.svds(a.astype(np.float64), k=k, tol=1e-10)
+    print("singular values:", np.round(s, 6))
+    for i in range(k):
+        r = np.linalg.norm(a @ vh[i] - s[i] * u[:, i])
+        print(f"  ||A v - s u||[{i}] = {r:.3e}")
+
+
+if __name__ == "__main__":
+    main()
