@@ -177,8 +177,14 @@ def eigs(
     dtype=None,
     seed: int = 0,
     mesh=None,
+    strategy: str = "auto",
 ):
-    """Non-symmetric / complex eigensolver (dnaupd/dneupd, znaupd/zneupd)."""
+    """Non-symmetric / complex eigensolver (dnaupd/dneupd, znaupd/zneupd).
+
+    ``strategy='fused'`` runs the whole restart loop on device (complex
+    arithmetic; real problems are complexified — the 2x-flops trade for
+    zero host round trips).  ``'hybrid'`` (and 'auto', the default)
+    mirrors the reference's host LAPACK reduced space."""
     if sigma is not None or M is not None:
         from .ops import transforms
         op = transforms.build_nonsym_operator(A, M=M, sigma=sigma,
@@ -191,7 +197,18 @@ def eigs(
         n=n, nev=k, ncv=min(ncv, n), which=which, bmat=op.bmat, mode=op.mode,
         tol=tol, max_iter=maxiter if maxiter is not None else max(300, 10),
         symmetric=False, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed)
-    solver = IRAMSolver(op, cfg, mesh=mesh)
+    if strategy == "fused":
+        from .core.device_nonsym import (FusedNonsymSolver,
+                                         complexify_operator)
+        op = complexify_operator(op)
+        cfg = IRAMConfig(
+            n=cfg.n, nev=cfg.nev, ncv=cfg.ncv, which=cfg.which,
+            bmat=cfg.bmat, mode=cfg.mode, tol=cfg.tol,
+            max_iter=cfg.max_iter, symmetric=False,
+            dtype=np.dtype(op.dtype), n_pad=cfg.n_pad, seed=cfg.seed)
+        solver = FusedNonsymSolver(op, cfg, mesh=mesh)
+    else:
+        solver = IRAMSolver(op, cfg, mesh=mesh)
     res = solver.solve(v0=v0)
     if res.info < 0:
         raise ArpackError(res.info)
