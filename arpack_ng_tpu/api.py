@@ -67,8 +67,7 @@ def _make_solver(op, cfg, shift_fn=None, mesh=None, strategy="auto"):
     """
     use_fused = (strategy == "fused") or (
         strategy == "auto" and cfg.symmetric and cfg.which != "BE"
-        and cfg.exact_shifts and shift_fn is None
-        and not _dt.is_complex(cfg.dtype))
+        and cfg.exact_shifts and shift_fn is None)
     if use_fused:
         from .core.device_sym import FusedSymSolver
         return FusedSymSolver(op, cfg, mesh=mesh)

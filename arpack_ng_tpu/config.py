@@ -89,9 +89,11 @@ class IRAMConfig:
             # shift-invert on a standard problem is allowed (M = I) and is
             # expressed with bmat='I', mode=3 in the reference drivers too.
             pass
-        if _dt.is_complex(self.dtype) and self.symmetric:
-            raise ValueError("complex problems have no symmetric driver "
-                             "(reference has no c/z 'saupd')")
+        # NOTE: complex + symmetric == HERMITIAN Lanczos — an extension
+        # beyond the reference (which has no c/z 'saupd' and routes
+        # Hermitian problems through the general complex driver at ~2x
+        # cost).  The projected matrix is real tridiagonal; the whole
+        # symmetric reduced-space machinery applies unchanged.
         if self.n_pad == 0:
             object.__setattr__(self, "n_pad", self.n)
         if self.n_pad < self.n:

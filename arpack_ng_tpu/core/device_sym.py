@@ -74,8 +74,8 @@ class CycleOut(NamedTuple):
 
 def make_sym_cycle(op: Operator, cfg: IRAMConfig):
     """Build the jitted fused cycle: (state, is_last) -> CycleOut."""
-    if not cfg.symmetric or _dt.is_complex(cfg.dtype):
-        raise ValueError("fused cycle is for real symmetric problems")
+    if not cfg.symmetric:
+        raise ValueError("fused cycle is for symmetric/Hermitian problems")
     if cfg.which == "BE":
         raise ValueError("which='BE' uses the hybrid path")
     ncv, nev0 = cfg.ncv, cfg.nev

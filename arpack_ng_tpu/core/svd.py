@@ -100,21 +100,12 @@ def svds(
     w_map = {"LM": "LA", "SM": "SA"}
     if which not in w_map:
         raise ValueError("which must be 'LM' or 'SM' for svds")
-    if np.issubdtype(hermitian_dtype, np.complexfloating):
-        # the reference has no complex Hermitian driver: complex Gram
-        # problems go through the general complex path (znaupd), selecting
-        # by real part of the (real, PSD) Gram spectrum
-        vals, vecs = _api.eigs(op, k=k,
-                               which="LR" if which == "LM" else "SR",
-                               ncv=ncv, tol=tol,
-                               maxiter=maxiter if maxiter else 600,
-                               seed=seed)
-        vals = vals.real
-    else:
-        vals, vecs = _api.eigsh(op, k=k, which=w_map[which], ncv=ncv,
-                                tol=tol,
-                                maxiter=maxiter if maxiter else 600,
-                                seed=seed)
+    # complex Gram operators are HERMITIAN and use the Hermitian-Lanczos
+    # extension directly (the reference, lacking a c/z Hermitian driver,
+    # would pay the ~2x general-complex cost here)
+    vals, vecs = _api.eigsh(op, k=k, which=w_map[which], ncv=ncv,
+                            tol=tol, maxiter=maxiter if maxiter else 600,
+                            seed=seed)
     vals = np.maximum(vals, 0.0)
     s = np.sqrt(vals)
     order = np.argsort(s, kind="stable")   # ascending, scipy convention
