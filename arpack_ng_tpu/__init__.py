@@ -29,6 +29,17 @@ from .ops.operator import Operator, from_dense, from_diagonal, from_matvec
 
 __version__ = "0.1.0"
 
+
+def enable_compile_cache(path: str = ".jax_cache") -> None:
+    """Enable JAX's persistent compilation cache (strongly recommended on
+    remote-attached TPUs where a fused-solver compile can take minutes;
+    subsequent runs with the same shapes start instantly)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 __all__ = [
     "ArpackError",
     "ArpackNoConvergence",
@@ -41,6 +52,7 @@ __all__ = [
     "default_ncv",
     "eigs",
     "eigsh",
+    "enable_compile_cache",
     "extract",
     "from_dense",
     "from_diagonal",

@@ -1,0 +1,134 @@
+"""Realification: run genuinely-complex eigenproblems through the REAL
+solver paths.
+
+A complex operator A = Ar + i*Ai acting on z = x + i*y is equivalent to
+the real block operator
+
+    M = [[Ar, -Ai],
+         [Ai,  Ar]]        acting on [x; y]  (dimension 2n),
+
+whose spectrum is spec(A) ∪ conj(spec(A)) and whose eigenvector for
+eigenvalue lambda is [Re z; Im z].  This classic construction lets a
+backend with no complex-arithmetic support (some TPU runtimes; see
+docs/PERF.md) solve complex problems with the real non-symmetric driver;
+it also gives complex HERMITIAN problems a real-SYMMETRIC route
+(M is symmetric when A is Hermitian), usable with the fused symmetric
+path at full speed.
+
+Cost: 2x memory, ~2x flops vs native complex — the same constant the
+complexification route pays in the other direction.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import pad_dim
+from .operator import Operator
+
+
+def realify_matvec(a_apply_c: Callable, n: int, n_pad2: int):
+    """Real matvec on stacked [x; y] from a complex matvec closure."""
+    def mv(u):
+        z = u[:n] + 1j * u[n_pad2 // 2: n_pad2 // 2 + n]
+        w = a_apply_c(z)
+        out = jnp.zeros((n_pad2,), u.dtype)
+        out = out.at[:n].set(w.real.astype(u.dtype))
+        out = out.at[n_pad2 // 2: n_pad2 // 2 + n].set(
+            w.imag.astype(u.dtype))
+        return out
+
+    return mv
+
+
+def realify_dense(a: np.ndarray, *, hermitian: Optional[bool] = None
+                  ) -> Operator:
+    """Dense complex matrix -> real block Operator of dimension 2n."""
+    a = np.asarray(a)
+    if not np.iscomplexobj(a):
+        raise ValueError("realify expects a complex matrix")
+    n = a.shape[0]
+    if hermitian is None:
+        hermitian = np.allclose(a, a.conj().T, atol=1e-12)
+    rdt = np.float32 if a.dtype == np.complex64 else np.float64
+    half = pad_dim(n)
+    n2 = 2 * half
+    m = np.zeros((n2, n2), rdt)
+    m[:n, :n] = a.real
+    m[:n, half: half + n] = -a.imag
+    m[half: half + n, :n] = a.imag
+    m[half: half + n, half: half + n] = a.real
+    m_dev = jnp.asarray(m)
+
+    def apply(v, bv):
+        w = m_dev @ v
+        return w, w
+
+    return Operator(n=n2, dtype=np.dtype(rdt), apply=apply, bmat="I",
+                    mode=1, a_apply=lambda v: m_dev @ v, n_pad=n2,
+                    hermitian=bool(hermitian))
+
+
+def _recover(vals, vecs, a, n: int, half: int, k: int):
+    """Map realified eigenpairs back to the complex problem, picking for
+    each eigenvalue whichever of (lambda, conj(lambda)) the candidate
+    vector actually satisfies."""
+    out_vals, out_vecs = [], []
+    seen = []
+    for i in range(len(vals)):
+        lam = complex(vals[i])
+        u = vecs[:, i]
+        # For M's eigenpair (lam, u=[p; q]): z = p + i q is an eigenvector
+        # of A for lam, and is ~zero exactly when the pair belongs to the
+        # conj(A) half of the realified spectrum — skip those copies.
+        z = u[:n] + 1j * u[half: half + n]
+        nrm = np.linalg.norm(z)
+        if nrm < 1e-6 * max(np.linalg.norm(u), 1e-300):
+            continue
+        z = z / nrm
+        az = a @ z
+        res = np.linalg.norm(az - lam * z)
+        if res > 1e-4 * max(1.0, abs(lam)):
+            continue   # spurious (mixed) direction
+        if any(abs(lam - s) < 1e-10 * max(1.0, abs(lam)) for s in seen):
+            continue
+        seen.append(lam)
+        out_vals.append(lam)
+        out_vecs.append(z)
+        if len(out_vals) == k:
+            break
+    return (np.array(out_vals),
+            np.stack(out_vecs, axis=1) if out_vecs else
+            np.zeros((n, 0), complex))
+
+
+def eigs_realified(a, k: int = 6, *, which: str = "LM",
+                   tol: float = 0.0, ncv: Optional[int] = None,
+                   maxiter: Optional[int] = None, seed: int = 0,
+                   hermitian: Optional[bool] = None
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """znaupd-class solve of a complex matrix through the REAL drivers.
+
+    Each complex eigenvalue of A surfaces in the realified spectrum with
+    its conjugate partner; twice as many pairs are requested and the
+    genuine ones are selected by residual.  Hermitian inputs route
+    through the real-symmetric fused path ('LM'/'LA'/'SA' selectors).
+    """
+    from .. import api
+
+    a = np.asarray(a)
+    n = a.shape[0]
+    op = realify_dense(a, hermitian=hermitian)
+    half = op.n_pad // 2
+    k2 = min(2 * k, op.n - 2)
+    if op.hermitian:
+        vals, vecs = api.eigsh(op, k=k2, which=which if which in
+                               ("LM", "LA", "SA") else "LM",
+                               tol=tol, ncv=ncv, maxiter=maxiter,
+                               seed=seed)
+    else:
+        vals, vecs = api.eigs(op, k=k2, which=which, tol=tol, ncv=ncv,
+                              maxiter=maxiter, seed=seed)
+    return _recover(np.atleast_1d(vals), vecs, a, n, half, k)
