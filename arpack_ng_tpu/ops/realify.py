@@ -90,8 +90,12 @@ def _recover(vals, vecs, a, n: int, half: int, k: int):
         z = z / nrm
         az = a @ z
         res = np.linalg.norm(az - lam * z)
-        if res > 1e-4 * max(1.0, abs(lam)):
-            continue   # spurious (mixed) direction
+        res_conj = np.linalg.norm(az - np.conj(lam) * z)
+        # keep the pair only if z is genuinely A's eigenvector for lam:
+        # closer to lam than to conj(lam), and sane in absolute terms
+        # (floor scaled loosely — f32 solves carry ~1e-4 residuals)
+        if res > res_conj or res > 3e-2 * max(1.0, abs(lam)):
+            continue
         if any(abs(lam - s) < 1e-10 * max(1.0, abs(lam)) for s in seen):
             continue
         seen.append(lam)

@@ -151,9 +151,13 @@ def main():
     dt, c = bench_sym(nx, 32, 8, np.float32, storage="bfloat16")
     print(f"| sym fused f32 + bf16 storage | {dt*1e3:.1f} ms/cycle "
           f"| {c} cycles |")
-    dt, c = bench_nonsym(nx_ns, 32, 8)
-    print(f"| nonsym fused c64 (complexified) | {dt*1e3:.1f} ms/cycle "
-          f"| {c} cycles |")
+    try:
+        dt, c = bench_nonsym(nx_ns, 32, 8)
+        print(f"| nonsym fused c64 (complexified) | {dt*1e3:.1f} ms/cycle "
+              f"| {c} cycles |")
+    except Exception:
+        print("| nonsym fused c64 (complexified) | n/a | backend lacks "
+              "complex arithmetic (docs/PERF.md) |")
     spmv, nnz = bench_spmv((nx * nx))
     for k, v in spmv.items():
         if v is None:
