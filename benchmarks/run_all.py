@@ -158,7 +158,12 @@ def main():
     except Exception:
         print("| nonsym fused c64 (complexified) | n/a | backend lacks "
               "complex arithmetic (docs/PERF.md) |")
-    spmv, nnz = bench_spmv((nx * nx))
+    try:
+        spmv, nnz = bench_spmv((nx * nx))
+    except Exception as e:
+        print(f"| spmv | n/a | {type(e).__name__} (run standalone in a "
+              f"fresh process) |")
+        return
     for k, v in spmv.items():
         if v is None:
             print(f"| spmv {k} | n/a | unsupported on {plat} |")
