@@ -43,6 +43,48 @@ class TestSvds:
         s_ref = np.linalg.svd(a, compute_uv=False)
         np.testing.assert_allclose(s, np.sort(s_ref[:3]), rtol=1e-8)
 
+    def test_augmented_tall(self, rng):
+        m, n = 300, 80
+        a = rng.standard_normal((m, n))
+        u, s, vh = at.svds(a.astype(np.float64), k=5, tol=1e-10,
+                           method="augmented")
+        s_ref = np.linalg.svd(a, compute_uv=False)
+        np.testing.assert_allclose(s, np.sort(s_ref[:5]), rtol=1e-8)
+        for i in range(5):
+            assert np.linalg.norm(a @ vh[i] - s[i] * u[:, i]) < 1e-7
+            assert np.linalg.norm(a.T @ u[:, i] - s[i] * vh[i]) < 1e-7
+
+    def test_augmented_complex(self, rng):
+        m, n = 90, 40
+        a = (rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n)))
+        u, s, vh = at.svds(a.astype(np.complex128), k=3, tol=1e-10,
+                           method="augmented")
+        s_ref = np.linalg.svd(a, compute_uv=False)
+        np.testing.assert_allclose(s, np.sort(s_ref[:3]), rtol=1e-8)
+        for i in range(3):
+            assert np.linalg.norm(a @ vh[i].conj() - s[i] * u[:, i]) < 1e-6
+
+    def test_augmented_beats_normal_in_f32(self, rng):
+        # kappa(A) = 1e4: the Gram operator's small eigenvalues sigma^2 sit
+        # at ~1e-8 * lambda_max — below f32 eps resolution — while the
+        # cyclic operator keeps them at sigma itself.  The augmented path's
+        # error bound is eps*kappa, the normal path's eps*kappa^2.
+        m, n, k = 50, 8, 6
+        s_true = np.logspace(0, -4, n)
+        qu, _ = np.linalg.qr(rng.standard_normal((m, n)))
+        qv, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        a = (qu * s_true) @ qv.T
+        want = np.sort(s_true)[-k:]
+
+        s_aug = at.svds(a, k=k, dtype=np.float32, method="augmented",
+                        return_singular_vectors=False, maxiter=2000)
+        s_nrm = at.svds(a, k=k, dtype=np.float32, method="normal",
+                        return_singular_vectors=False, maxiter=2000)
+        err_aug = np.max(np.abs(s_aug - want) / want)
+        err_nrm = np.max(np.abs(s_nrm - want) / want)
+        assert err_aug < 1e-3
+        assert err_aug < err_nrm
+
     def test_smallest(self, rng):
         a = rng.standard_normal((80, 40))
         s = at.svds(a.astype(np.float64), k=3, which="SM", tol=1e-10,
