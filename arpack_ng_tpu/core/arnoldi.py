@@ -193,7 +193,7 @@ def make_extend(op: Operator, cfg: IRAMConfig):
     bnorm = make_bnorm(op, cfg)
 
     def _proj(V, w):
-        """(ncv,) projection coefficients V^H w, accumulated in `dtype`
+        """(rows,) projection coefficients V^H w, accumulated in `dtype`
         even when V is stored narrow (mixed-precision orthogonalization:
         narrow reads, wide accumulate via preferred_element_type)."""
         if not mixed:
@@ -207,6 +207,46 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             return h @ V
         return lax.dot_general(h.astype(sdt), V, (((0,), (0,)), ((), ())),
                                preferred_element_type=dtype)
+
+    # ---- bucketed CGS: stream only the active rows of V ----------------
+    # The masked static-shape contractions above always read the full
+    # (ncv, n) basis from HBM even when only j+1 rows are active.  Since
+    # the solver is V-bandwidth-bound (docs/PERF.md), that overread is the
+    # single largest waste in the cycle: averaged over a restart cycle the
+    # active row count is ~2/3–3/4 of ncv.  Dispatching on the bucket
+    # ceil((j+1)/8)*8 via lax.switch keeps every branch a static-shape
+    # contraction (row counts in multiples of the f32 sublane tile) while
+    # streaming only the rows that can be nonzero.  Results are bit-exact
+    # vs the full masked form: excluded rows contributed exact zeros.
+    _BUCKET = 8
+    _nbuckets = max(1, -(-ncv // _BUCKET))
+    _bucket_rows = [min((b + 1) * _BUCKET, ncv) for b in range(_nbuckets)]
+
+    def _proj_upto(V, w, j):
+        """V[:rows]^H w padded to (ncv,), rows = smallest bucket > j."""
+        if _nbuckets == 1:
+            return _proj(V, w)
+
+        def mk(rows):
+            def f(_):
+                return jnp.pad(_proj(V[:rows], w), (0, ncv - rows))
+            return f
+
+        b = jnp.minimum(j // _BUCKET, _nbuckets - 1)
+        return lax.switch(b, [mk(r) for r in _bucket_rows], None)
+
+    def _comb_upto(h, V, j):
+        """h[:rows] @ V[:rows] — entries of h beyond j are already zero."""
+        if _nbuckets == 1:
+            return _comb(h, V)
+
+        def mk(rows):
+            def f(_):
+                return _comb(h[:rows], V[:rows])
+            return f
+
+        b = jnp.minimum(j // _BUCKET, _nbuckets - 1)
+        return lax.switch(b, [mk(r) for r in _bucket_rows], None)
 
     def _orth_refine(V, nmask_lt, r, br, rn_prev, max_iter):
         """Shared CGS + iterative-refinement loop (dgetv0 flavor): repeatedly
@@ -305,8 +345,8 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             # first j+1 rows) — the two dgemv calls of SRC/dsaitr.f:570-583
             # as full static-shape contractions.
             nmask_le = col_idx <= j
-            h = jnp.where(nmask_le, _proj(V, bw), jnp.zeros((), dtype))
-            r = w - _comb(h, V)
+            h = jnp.where(nmask_le, _proj_upto(V, bw, j), jnp.zeros((), dtype))
+            r = w - _comb_upto(h, V, j)
             # Extend H: column j gets the projection coefficients; the
             # subdiagonal H[j, j-1] is beta_{j-1} = previous rnorm
             # (zero after an invariant-subspace restart).
@@ -332,8 +372,9 @@ def make_extend(op: Operator, cfg: IRAMConfig):
 
             def dgks_body(c):
                 r, br, rn_prev, s_tot, passes, nfail, _ = c
-                s = jnp.where(nmask_le, _proj(V, br), jnp.zeros((), dtype))
-                r = r - _comb(s, V)
+                s = jnp.where(nmask_le, _proj_upto(V, br, j),
+                              jnp.zeros((), dtype))
+                r = r - _comb_upto(s, V, j)
                 br = b_apply(r)
                 rn = bnorm(r, br).astype(rdt)
                 s_tot = s_tot + s
