@@ -1,0 +1,96 @@
+"""Microbenchmark: raw streaming efficiency of the solver's hot GEMV
+shapes on the attached TPU.
+
+Measures the two CGS contractions at solver shapes — projection
+``h = V @ w`` ((ncv, n) @ (n,)) and combination ``r = h @ V`` — plus the
+paired proj+comb sequence, for several row counts, each as a chained
+``lax.fori_loop`` inside ONE dispatch with a data-dependent scalar
+readback (see docs/PERF.md measurement protocol; naive timing through the
+axon relay reports impossible numbers).
+
+Purpose: decide whether a hand-written Pallas CGS kernel can beat XLA's
+GEMV streaming.  If these numbers sit near HBM speed-of-light, the
+remaining solver gap is protocol/latency, not kernel quality.
+"""
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+    n = 1 << 20
+    iters = 200
+    bw = 819e9  # v5e HBM bytes/s
+
+    results = []
+
+    def timeit(name, fn, *args, traffic_bytes):
+        f = jax.jit(fn)
+        out = f(*args)
+        jax.block_until_ready(out)
+        float(jax.device_get(jnp.sum(out[-1] if isinstance(out, tuple)
+                                     else out)))  # force real execution
+        t0 = time.perf_counter()
+        out = f(*args)
+        s = float(jax.device_get(jnp.sum(out[-1] if isinstance(out, tuple)
+                                         else out)))
+        dt = time.perf_counter() - t0
+        per = dt / iters
+        sol = traffic_bytes / bw
+        results.append((name, per * 1e3, traffic_bytes / per / 1e9,
+                        100.0 * sol / per))
+        return s
+
+    for rows in (8, 16, 32):
+        V = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (rows, n)).astype(np.float32)) * 1e-3
+
+        def proj_loop(V, w0):
+            # h = V @ w, chained: w <- w * (1 + tiny*h[0]) so every
+            # iteration depends on the last
+            def body(i, w):
+                h = V @ w
+                return w * (1.0 + 1e-30 * h[0])
+            return lax.fori_loop(0, iters, body, w0)
+
+        def comb_loop(V, h0):
+            def body(i, h):
+                r = h @ V
+                return h * (1.0 + 1e-30 * r[0])
+            return lax.fori_loop(0, iters, body, h0)
+
+        def pair_loop(V, w0):
+            def body(i, w):
+                h = V @ w
+                r = w - h @ V
+                return r * (1.0 + 1e-30 * w[0])
+            return lax.fori_loop(0, iters, body, w0)
+
+        w0 = jnp.ones((n,), jnp.float32)
+        h0 = jnp.ones((rows,), jnp.float32)
+        vb = rows * n * 4
+        timeit(f"proj rows={rows}", proj_loop, V, w0,
+               traffic_bytes=iters * (vb + n * 4))
+        timeit(f"comb rows={rows}", comb_loop, V, h0,
+               traffic_bytes=iters * (vb + n * 4))
+        timeit(f"proj+comb rows={rows}", pair_loop, V, w0,
+               traffic_bytes=iters * (2 * vb + 3 * n * 4))
+
+    print(f"{'kernel':<22}{'ms/pass':>9}{'GB/s':>9}{'% SoL':>8}")
+    for name, ms, gbs, pct in results:
+        print(f"{name:<22}{ms:>9.3f}{gbs:>9.1f}{pct:>7.0f}%")
+
+
+if __name__ == "__main__":
+    main()
