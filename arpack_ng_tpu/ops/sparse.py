@@ -13,8 +13,8 @@ arpackSolver.hpp:176-215).  Here sparse matrices are first-class operators:
 * :func:`coo_matvec` — scatter-add fallback for extremely irregular
   matrices.
 
-A Pallas block-sparse kernel (ops/pallas_spmv.py) supersedes these on the
-hot path for large problems.
+A Pallas DIA kernel (ops/pallas_dia.py) is the explicit-control variant of
+the diagonal-streaming path for future fusion work.
 """
 from __future__ import annotations
 
