@@ -45,14 +45,24 @@ def laplacian_2d_sharded(nx: int, ny: int, mesh: Mesh,
         ny_loc = ny // ndev
         u = x_loc.reshape(ny_loc, nx)
         # halo exchange: one row in each direction (the reference's
-        # mpi_send/mpi_recv of nx-sized blocks, pdsdrv1.f:466-480)
+        # mpi_send/mpi_recv of nx-sized blocks, pdsdrv1.f:466-480).
+        # Communication/computation overlap: the ppermute results feed
+        # ONLY the two boundary-row corrections below, so the whole
+        # interior stencil is independent work XLA's latency-hiding
+        # scheduler can run while the ICI transfer is in flight (the
+        # reference overlaps nothing — send/recv complete before av()).
         from_above = jax.lax.ppermute(u[-1:, :], ROWS, perm=fwd)
         from_below = jax.lax.ppermute(u[:1, :], ROWS, perm=bwd)
-        up_nbr = jnp.concatenate([from_above, u[:-1, :]], axis=0)
-        dn_nbr = jnp.concatenate([u[1:, :], from_below], axis=0)
-        y = 4.0 * u - up_nbr - dn_nbr
+        # interior: all terms available locally
+        y = 4.0 * u
+        y = y - jnp.pad(u[1:, :], ((0, 1), (0, 0)))    # below-neighbor
+        y = y - jnp.pad(u[:-1, :], ((1, 0), (0, 0)))   # above-neighbor
         y = y - jnp.pad(u[:, 1:], ((0, 0), (0, 1)))
         y = y - jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
+        # boundary fix-up: consume the halos (zeros at the mesh edge =
+        # Dirichlet walls)
+        y = y.at[:1, :].add(-from_above)
+        y = y.at[-1:, :].add(-from_below)
         return y.reshape(-1).astype(x_loc.dtype)
 
     def apply(v, bv):
