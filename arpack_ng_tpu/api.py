@@ -131,6 +131,7 @@ def eigsh(
     mesh=None,
     strategy: str = "auto",
     storage_dtype=None,
+    cgs_kernel: str = "auto",
 ):
     """Symmetric/Hermitian eigensolver (dsaupd/dseupd equivalent).
 
@@ -154,7 +155,7 @@ def eigsh(
         n=n, nev=k, ncv=min(ncv, n), which=which, bmat=op.bmat, mode=op.mode,
         tol=tol, max_iter=maxiter if maxiter is not None else max(300, 10),
         symmetric=True, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed,
-        storage_dtype=storage_dtype)
+        storage_dtype=storage_dtype, cgs_kernel=cgs_kernel)
     return _solve(op, cfg, v0, return_eigenvectors, return_stats,
                   mesh=mesh, strategy=strategy)
 
@@ -177,6 +178,7 @@ def eigs(
     seed: int = 0,
     mesh=None,
     strategy: str = "auto",
+    cgs_kernel: str = "auto",
 ):
     """Non-symmetric / complex eigensolver (dnaupd/dneupd, znaupd/zneupd).
 
@@ -195,7 +197,8 @@ def eigs(
     cfg = IRAMConfig(
         n=n, nev=k, ncv=min(ncv, n), which=which, bmat=op.bmat, mode=op.mode,
         tol=tol, max_iter=maxiter if maxiter is not None else max(300, 10),
-        symmetric=False, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed)
+        symmetric=False, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed,
+        cgs_kernel=cgs_kernel)
     if strategy == "fused":
         from .core.device_nonsym import (FusedNonsymSolver,
                                          complexify_operator)

@@ -58,6 +58,12 @@ class IRAMConfig:
     #   dominant HBM traffic of the orthogonalization at a documented
     #   accuracy cost (residual floor ~ ||A|| * eps(storage)).  A TPU-
     #   native capability with no reference equivalent.
+    cgs_kernel: str = "auto"    # orthogonalization-pass backend:
+    #   'auto'/'xla' (bucketed masked contractions — the measured
+    #   end-to-end winner, docs/PERF.md), or 'pallas' (explicit opt-in:
+    #   hand-scheduled streaming kernels, ops/pallas_cgs.py; faster per
+    #   isolated pass at <= 24 rows but the pallas_call fusion barrier
+    #   loses more than the kernels gain inside the solver loop)
 
     def __post_init__(self):
         # Argument validation mirroring dsaupd.f:435-519 / dnaupd.f info codes.
@@ -94,6 +100,8 @@ class IRAMConfig:
         # Hermitian problems through the general complex driver at ~2x
         # cost).  The projected matrix is real tridiagonal; the whole
         # symmetric reduced-space machinery applies unchanged.
+        if self.cgs_kernel not in ("auto", "xla", "pallas"):
+            raise ValueError("cgs_kernel must be 'auto', 'xla' or 'pallas'")
         if self.n_pad == 0:
             object.__setattr__(self, "n_pad", self.n)
         if self.n_pad < self.n:

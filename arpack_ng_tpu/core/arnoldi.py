@@ -208,6 +208,30 @@ def make_extend(op: Operator, cfg: IRAMConfig):
         return lax.dot_general(h.astype(sdt), V, (((0,), (0,)), ((), ())),
                                preferred_element_type=dtype)
 
+    # ---- CGS kernel backend selection -----------------------------------
+    # 'pallas': hand-scheduled streaming kernels (ops/pallas_cgs.py).
+    # They win ISOLATED per-pass A/Bs vs XLA's GEMV lowering at <= 24
+    # rows (benchmarks/bench_pallas_cgs.py), but measured END-TO-END in
+    # the solver loop they LOSE (docs/PERF.md round-1 retrospective): a
+    # pallas_call is a fusion barrier, so XLA must materialize operand
+    # slices/reshapes and can no longer fuse the norm reductions and
+    # masking arithmetic into the contraction epilogues.  'auto'
+    # therefore resolves to the XLA contractions everywhere; 'pallas' is
+    # an explicit opt-in (interpreter mode off-TPU, for tests).
+    _pallas_ok = (not _dt.is_complex(dtype)
+                  and jnp.dtype(dtype) == jnp.float32
+                  and jnp.dtype(sdt) in (jnp.dtype(jnp.float32),
+                                         jnp.dtype(jnp.bfloat16))
+                  and n_pad % 128 == 0)
+    if cfg.cgs_kernel == "pallas":
+        use_pallas = True
+        if not _pallas_ok:
+            raise ValueError("cgs_kernel='pallas' requires real float32 "
+                             "compute, f32/bf16 storage, n_pad % 128 == 0")
+    else:
+        use_pallas = False
+    _pl_interpret = jax.default_backend() != "tpu"
+
     # ---- bucketed CGS: stream only the active rows of V ----------------
     # The masked static-shape contractions above always read the full
     # (ncv, n) basis from HBM even when only j+1 rows are active.  Since
@@ -222,29 +246,79 @@ def make_extend(op: Operator, cfg: IRAMConfig):
     _nbuckets = max(1, -(-ncv // _BUCKET))
     _bucket_rows = [min((b + 1) * _BUCKET, ncv) for b in range(_nbuckets)]
 
+    if use_pallas:
+        from ..ops import pallas_cgs as _plcgs
+        _sdt_name, _cdt_name = str(jnp.dtype(sdt)), str(jnp.dtype(dtype))
+
+        def _pl_proj(rows):
+            return _plcgs.make_proj(rows, ncv, n_pad, _sdt_name, _cdt_name,
+                                    interpret=_pl_interpret)
+
+        def _pl_update(rows):
+            return _plcgs.make_update(rows, ncv, n_pad, _sdt_name,
+                                      _cdt_name, interpret=_pl_interpret)
+
     def _proj_upto(V, w, j):
         """V[:rows]^H w padded to (ncv,), rows = smallest bucket > j."""
-        if _nbuckets == 1:
-            return _proj(V, w)
-
         def mk(rows):
-            def f(_):
-                return jnp.pad(_proj(V[:rows], w), (0, ncv - rows))
+            if use_pallas and rows % 8 == 0 and rows <= _plcgs.MAX_FAST_ROWS:
+                pk = _pl_proj(rows)
+
+                def f(_):
+                    return jnp.pad(pk(V, w), (0, ncv - rows))
+            else:
+                def f(_):
+                    return jnp.pad(_proj(V[:rows], w), (0, ncv - rows))
             return f
 
+        if _nbuckets == 1:
+            return mk(ncv)(None)
         b = jnp.minimum(j // _BUCKET, _nbuckets - 1)
         return lax.switch(b, [mk(r) for r in _bucket_rows], None)
 
-    def _comb_upto(h, V, j):
-        """h[:rows] @ V[:rows] — entries of h beyond j are already zero."""
-        if _nbuckets == 1:
-            return _comb(h, V)
-
+    def _update_upto(w, h, V, j):
+        """w - h[:rows] @ V[:rows] — entries of h beyond j are zero, so
+        this realizes the full CGS subtraction while streaming only the
+        active bucket (also serves the DGKS refinement passes)."""
         def mk(rows):
-            def f(_):
-                return _comb(h[:rows], V[:rows])
+            if use_pallas and rows % 8 == 0 and rows <= _plcgs.MAX_FAST_ROWS:
+                uk = _pl_update(rows)
+
+                def f(_):
+                    return uk(w, h[:rows], V)
+            else:
+                def f(_):
+                    return w - _comb(h[:rows], V[:rows])
             return f
 
+        if _nbuckets == 1:
+            return mk(ncv)(None)
+        b = jnp.minimum(j // _BUCKET, _nbuckets - 1)
+        return lax.switch(b, [mk(r) for r in _bucket_rows], None)
+
+    # Fused ||r||^2: XLA fuses the ORTH1 norm reduction into its GEMV
+    # epilogue, but it cannot fuse INTO a pallas_call — so the Pallas
+    # update carries the norm out of the same pass (standard problems
+    # with plain norms only; B-norms and safe_norms keep their own pass).
+    fuse_norm = use_pallas and not is_g and not cfg.safe_norms
+
+    def _update_norm_upto(w, h, V, j):
+        def mk(rows):
+            if use_pallas and rows % 8 == 0 and rows <= _plcgs.MAX_FAST_ROWS:
+                uk = _plcgs.make_update(rows, ncv, n_pad, _sdt_name,
+                                        _cdt_name, interpret=_pl_interpret,
+                                        with_norm=True)
+
+                def f(_):
+                    return uk(w, h[:rows], V)
+            else:
+                def f(_):
+                    r = w - _comb(h[:rows], V[:rows])
+                    return r, jnp.sum(r * r)
+            return f
+
+        if _nbuckets == 1:
+            return mk(ncv)(None)
         b = jnp.minimum(j // _BUCKET, _nbuckets - 1)
         return lax.switch(b, [mk(r) for r in _bucket_rows], None)
 
@@ -346,7 +420,10 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             # as full static-shape contractions.
             nmask_le = col_idx <= j
             h = jnp.where(nmask_le, _proj_upto(V, bw, j), jnp.zeros((), dtype))
-            r = w - _comb_upto(h, V, j)
+            if fuse_norm:
+                r, _rn2 = _update_norm_upto(w, h, V, j)
+            else:
+                r = _update_upto(w, h, V, j)
             # Extend H: column j gets the projection coefficients; the
             # subdiagonal H[j, j-1] is beta_{j-1} = previous rnorm
             # (zero after an invariant-subspace restart).
@@ -358,9 +435,13 @@ def make_extend(op: Operator, cfg: IRAMConfig):
                     beta.astype(dtype)),
                 lambda Hm: Hm, H)
             # ORTH1: B-norm of the new residual.
-            br = b_apply(r)
+            if fuse_norm:
+                br = r
+                rnorm = jnp.sqrt(_rn2).astype(rdt)
+            else:
+                br = b_apply(r)
+                rnorm = bnorm(r, br).astype(rdt)
             counts = counts.add(nbx=nbx1)
-            rnorm = bnorm(r, br).astype(rdt)
 
             # STEP 5: DGKS iterative refinement (SRC/dsaitr.f:656-781).
             needs = rnorm <= eta * wnorm
@@ -374,9 +455,14 @@ def make_extend(op: Operator, cfg: IRAMConfig):
                 r, br, rn_prev, s_tot, passes, nfail, _ = c
                 s = jnp.where(nmask_le, _proj_upto(V, br, j),
                               jnp.zeros((), dtype))
-                r = r - _comb_upto(s, V, j)
-                br = b_apply(r)
-                rn = bnorm(r, br).astype(rdt)
+                if fuse_norm:
+                    r, _rn2d = _update_norm_upto(r, s, V, j)
+                    br = r
+                    rn = jnp.sqrt(_rn2d).astype(rdt)
+                else:
+                    r = _update_upto(r, s, V, j)
+                    br = b_apply(r)
+                    rn = bnorm(r, br).astype(rdt)
                 s_tot = s_tot + s
                 accept = rn > eta * rn_prev
                 give_up = (~accept) & (passes + 1 >= _MAX_DGKS_PASSES)

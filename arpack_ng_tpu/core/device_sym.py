@@ -243,6 +243,11 @@ class FusedSymSolver:
 
     def __init__(self, op: Operator, cfg: IRAMConfig, mesh=None,
                  cycles_per_dispatch: int = 16):
+        if mesh is not None and cfg.cgs_kernel == "auto":
+            # a pallas_call inside a GSPMD-partitioned program would not
+            # shard; the sharded path uses the XLA contractions
+            import dataclasses
+            cfg = dataclasses.replace(cfg, cgs_kernel="xla")
         self.op, self.cfg, self.mesh = op, cfg, mesh
         #: restart cycles executed per device dispatch (the on-device
         #: while_loop exits early on convergence, so large values cost

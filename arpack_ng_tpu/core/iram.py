@@ -61,6 +61,10 @@ class IRAMSolver:
             raise ValueError("operator/config dimension mismatch")
         if op.bmat != cfg.bmat:
             raise ValueError("operator/config bmat mismatch")
+        if mesh is not None and cfg.cgs_kernel == "auto":
+            # a pallas_call inside a GSPMD-partitioned program would not
+            # shard; the sharded path uses the XLA contractions
+            cfg = dataclasses.replace(cfg, cgs_kernel="xla")
         self.op = op
         self.cfg = cfg
         self.mesh = mesh
@@ -156,13 +160,18 @@ class IRAMSolver:
         eps23 = cfg.eps23
         eps_m = _dt.eps(np.float64)      # host reduced space is float64
         smlnum = _dt.safmin(np.float64) * (kplusp / eps_m)
-        cur_iter = int(state.iter) + 1
 
         # ---- extend the factorization to kplusp steps (dsaitr) ----
         with timers.timed("taitr"):
             state = self._extend(state, jnp.int32(kplusp))
-            state.rnorm.block_until_ready()
-        info = int(state.info)
+            # ONE host<->device round trip per cycle: everything the host
+            # reduced space needs comes back in a single batched transfer
+            # (each separate readback through a remote-attached TPU costs
+            # 0.7-40 ms of relay latency).
+            iter_h, info_h, H_h, rnorm_h = jax.device_get(
+                (state.iter, state.info, state.H, state.rnorm))
+        cur_iter = int(iter_h) + 1
+        info = int(info_h)
         if info < 0:
             return state, self._make_result(state, np.zeros(kplusp),
                                             np.zeros(kplusp), 0, info,
@@ -174,8 +183,8 @@ class IRAMSolver:
                                             np.zeros(kplusp), 0, -9999,
                                             cur_iter)
 
-        H = np.asarray(jax.device_get(state.H)).astype(self._host_dtype)
-        rnorm = float(state.rnorm)
+        H = np.asarray(H_h).astype(self._host_dtype)
+        rnorm = float(rnorm_h)
 
         # ---- Ritz values + bounds of the projected matrix (dseigt/dneigh)
         with timers.timed("teigt"):

@@ -35,20 +35,21 @@ def main():
 
     results = []
 
-    def timeit(name, fn, *args, traffic_bytes):
+    def timeit(name, fn, V, carry0, traffic_bytes):
+        # The relay returns cached results for a dispatch with identical
+        # inputs, so the timed call MUST consume the warmup's output
+        # (docs/PERF.md protocol: chained inputs + scalar readback).
         f = jax.jit(fn)
-        out = f(*args)
-        jax.block_until_ready(out)
-        float(jax.device_get(jnp.sum(out[-1] if isinstance(out, tuple)
-                                     else out)))  # force real execution
+        carry = f(V, carry0)
+        float(jax.device_get(jnp.sum(carry)))   # force warmup execution
         t0 = time.perf_counter()
-        out = f(*args)
-        s = float(jax.device_get(jnp.sum(out[-1] if isinstance(out, tuple)
-                                         else out)))
+        out = f(V, carry)
+        s = float(jax.device_get(jnp.sum(out)))
         dt = time.perf_counter() - t0
         per = dt / iters
-        sol = traffic_bytes / bw
-        results.append((name, per * 1e3, traffic_bytes / per / 1e9,
+        per_pass_bytes = traffic_bytes / iters
+        sol = per_pass_bytes / bw
+        results.append((name, per * 1e3, per_pass_bytes / per / 1e9,
                         100.0 * sol / per))
         return s
 
@@ -56,25 +57,30 @@ def main():
         V = jnp.asarray(np.random.default_rng(0).standard_normal(
             (rows, n)).astype(np.float32)) * 1e-3
 
+        # The chained perturbation must be NONLINEAR in the carried vector:
+        # with w' = c*w (scalar) XLA strength-reduces dot(V, c*w) to
+        # c*dot(V, w) and hoists the GEMV out of the loop entirely (first
+        # version of this file measured "39 TB/s").  abs() blocks every
+        # algebraic rewrite while keeping magnitudes stable.
         def proj_loop(V, w0):
-            # h = V @ w, chained: w <- w * (1 + tiny*h[0]) so every
-            # iteration depends on the last
             def body(i, w):
                 h = V @ w
-                return w * (1.0 + 1e-30 * h[0])
+                s = h[0] / (1.0 + jnp.abs(h[0]))
+                return w + 1e-6 * s * jnp.abs(w)
             return lax.fori_loop(0, iters, body, w0)
 
         def comb_loop(V, h0):
             def body(i, h):
                 r = h @ V
-                return h * (1.0 + 1e-30 * r[0])
+                s = r[0] / (1.0 + jnp.abs(r[0]))
+                return h + 1e-6 * s * jnp.abs(h)
             return lax.fori_loop(0, iters, body, h0)
 
         def pair_loop(V, w0):
             def body(i, w):
                 h = V @ w
                 r = w - h @ V
-                return r * (1.0 + 1e-30 * w[0])
+                return r + 1e-6 * jnp.abs(r)
             return lax.fori_loop(0, iters, body, w0)
 
         w0 = jnp.ones((n,), jnp.float32)
@@ -86,6 +92,7 @@ def main():
                traffic_bytes=iters * (vb + n * 4))
         timeit(f"proj+comb rows={rows}", pair_loop, V, w0,
                traffic_bytes=iters * (2 * vb + 3 * n * 4))
+
 
     print(f"{'kernel':<22}{'ms/pass':>9}{'GB/s':>9}{'% SoL':>8}")
     for name, ms, gbs, pct in results:

@@ -53,3 +53,56 @@ def test_uneven_tile_fallback(rng):
     x = rng.standard_normal(n_pad)
     y = np.asarray(mv(jnp.asarray(x)))
     np.testing.assert_allclose(y, a @ x, atol=1e-12)
+
+
+class TestCGSKernels:
+    """ops/pallas_cgs.py: the hand-scheduled CGS passes (interpret mode
+    here; the compiled path is measured by benchmarks/bench_pallas_cgs.py
+    on TPU hardware)."""
+
+    @pytest.mark.parametrize("rows", [8, 16, 24])
+    def test_proj_update_match_gemv(self, rows, rng):
+        from arpack_ng_tpu.ops import pallas_cgs
+        ncv, n_pad = 32, 128 * 40
+        V = rng.standard_normal((ncv, n_pad)).astype(np.float32)
+        w = rng.standard_normal(n_pad).astype(np.float32)
+        proj = pallas_cgs.make_proj(rows, ncv, n_pad, "float32", "float32",
+                                    interpret=True)
+        upd = pallas_cgs.make_update(rows, ncv, n_pad, "float32", "float32",
+                                     interpret=True, with_norm=True)
+        h = np.asarray(proj(jnp.asarray(V), jnp.asarray(w)))
+        np.testing.assert_allclose(h, V[:rows] @ w, rtol=2e-5, atol=1e-3)
+        r, n2 = upd(jnp.asarray(w), jnp.asarray(h), jnp.asarray(V))
+        r, n2 = np.asarray(r).reshape(-1), float(n2)
+        r_ref = w - h @ V[:rows]
+        np.testing.assert_allclose(r, r_ref, rtol=1e-4, atol=1e-2)
+        n2_ref = float(np.sum(r_ref * r_ref))
+        assert abs(n2 - n2_ref) < 1e-3 * max(1.0, n2_ref)
+
+    def test_bf16_storage_accumulates_f32(self, rng):
+        from arpack_ng_tpu.ops import pallas_cgs
+        rows, ncv, n_pad = 16, 24, 128 * 32
+        V = jnp.asarray(rng.standard_normal((ncv, n_pad)),
+                        dtype=jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal(n_pad), dtype=jnp.float32)
+        proj = pallas_cgs.make_proj(rows, ncv, n_pad, "bfloat16", "float32",
+                                    interpret=True)
+        h = np.asarray(proj(V, w))
+        href = np.asarray(V[:rows].astype(jnp.float32)) @ np.asarray(w)
+        np.testing.assert_allclose(h, href, rtol=1e-4, atol=1e-2)
+
+    def test_full_solve_pallas_cgs(self, rng):
+        """End-to-end eigsh with cgs_kernel='pallas' (interpret mode on
+        CPU) matches the XLA path and the residual oracle.  ncv=20 also
+        exercises the non-multiple-of-8 last bucket's XLA fallback."""
+        import arpack_ng_tpu as at
+        from arpack_ng_tpu import models
+        op, a = models.laplacian_2d(24, dtype=np.float32)  # n=576, pad 640
+        vals_p, vecs_p = at.eigsh(op, k=4, which="LA", ncv=20, tol=1e-5,
+                                  cgs_kernel="pallas")
+        vals_x, _ = at.eigsh(op, k=4, which="LA", ncv=20, tol=1e-5,
+                             cgs_kernel="xla")
+        np.testing.assert_allclose(vals_p, vals_x, rtol=2e-4)
+        for i in range(4):
+            r = np.linalg.norm(a @ vecs_p[:, i] - vals_p[i] * vecs_p[:, i])
+            assert r < 1e-3
