@@ -184,7 +184,11 @@ def eigs(
 
     ``strategy='fused'`` runs the whole restart loop on device (complex
     arithmetic; real problems are complexified — the 2x-flops trade for
-    zero host round trips).  ``'hybrid'`` (and 'auto', the default)
+    zero host round trips).  ``strategy='fused_real'`` (real problems
+    only) keeps the fused loop in REAL arithmetic: device real Schur via
+    explicit double-shift QR, pair-preserving shift selection — single
+    matvec cost and runs on complex-incapable backends
+    (core/device_realnonsym.py).  ``'hybrid'`` (and 'auto', the default)
     mirrors the reference's host LAPACK reduced space."""
     if sigma is not None or M is not None:
         from .ops import transforms
@@ -209,6 +213,12 @@ def eigs(
             max_iter=cfg.max_iter, symmetric=False,
             dtype=np.dtype(op.dtype), n_pad=cfg.n_pad, seed=cfg.seed)
         solver = FusedNonsymSolver(op, cfg, mesh=mesh)
+    elif strategy == "fused_real":
+        if np.issubdtype(np.dtype(op.dtype), np.complexfloating):
+            raise ValueError("strategy='fused_real' is for real problems; "
+                             "use strategy='fused' for complex dtypes")
+        from .core.device_realnonsym import FusedRealNonsymSolver
+        solver = FusedRealNonsymSolver(op, cfg, mesh=mesh)
     else:
         solver = IRAMSolver(op, cfg, mesh=mesh)
     res = solver.solve(v0=v0)

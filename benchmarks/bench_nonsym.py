@@ -24,8 +24,10 @@ def main():
     except Exception:
         pass
 
+    import jax.numpy as jnp
     from arpack_ng_tpu import models
     from arpack_ng_tpu.config import IRAMConfig
+    from arpack_ng_tpu.core.device_realnonsym import FusedRealNonsymSolver
     from arpack_ng_tpu.core.iram import IRAMSolver
     from arpack_ng_tpu.utils.stats import Timers
 
@@ -34,8 +36,26 @@ def main():
     cfg = IRAMConfig(n=op.n, nev=8, ncv=32, which="LM", symmetric=False,
                      dtype=np.dtype(np.float32), n_pad=op.n_pad, tol=1e-30,
                      max_iter=10_000)
-    solver = IRAMSolver(op, cfg)
 
+    if "--fused" in sys.argv:
+        solver = FusedRealNonsymSolver(op, cfg)
+        state = solver.init_state()
+        out = solver._multi(state, jnp.int32(2), jnp.int32(10_000))
+        state = out.state
+        float(jax.device_get(state.rnorm))
+        iter0 = int(jax.device_get(state.iter))
+        t0 = time.perf_counter()
+        out = solver._multi(state, jnp.int32(20), jnp.int32(10_000))
+        state = out.state
+        float(jax.device_get(state.rnorm))
+        dt = time.perf_counter() - t0
+        cycles = int(jax.device_get(state.iter)) - iter0
+        print(f"fused real nonsym n={cfg.n} ncv=32: "
+              f"{dt/max(cycles,1)*1e3:.1f} ms/cycle ({cycles} cycles, "
+              f"wall {dt:.2f}s) platform={jax.devices()[0].platform}")
+        return
+
+    solver = IRAMSolver(op, cfg)
     timers = Timers()
     state = solver.init_state()
     # warmup: 2 cycles (compiles extend + tail)
