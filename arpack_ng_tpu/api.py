@@ -61,12 +61,13 @@ def _make_solver(op, cfg, shift_fn=None, mesh=None, strategy="auto"):
     """Pick the execution strategy.
 
     'fused'  — entire restart cycle as one XLA computation (device
-               reduced space); real symmetric, exact shifts, not 'BE'.
+               reduced space); symmetric/Hermitian, exact shifts (all
+               which selectors incl. 'BE').
     'hybrid' — host float64 reduced space (the PARPACK-like split);
-               required for non-symmetric/complex/'BE'/user shifts.
+               required for user shifts.
     """
     use_fused = (strategy == "fused") or (
-        strategy == "auto" and cfg.symmetric and cfg.which != "BE"
+        strategy == "auto" and cfg.symmetric
         and cfg.exact_shifts and shift_fn is None)
     if use_fused:
         from .core.device_sym import FusedSymSolver

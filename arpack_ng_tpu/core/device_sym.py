@@ -15,8 +15,10 @@ Reduced-space numerics on device (vs the host float64 path):
   bounds = rnorm * |last eigenvector components| (SRC/dseigt.f:155).
 * dsgets: `which`-keyed sort with the wanted nev in the LAST positions
   (SRC/dsgets.f:180-186); shifts = leading np entries re-ordered largest
-  Ritz-estimate first (dsgets.f:193-196).  'BE' needs a dynamic split and
-  uses the hybrid path instead.
+  Ritz-estimate first (dsgets.f:193-196).  'BE' uses an index-arithmetic
+  [middle, low, high] arrangement over the ascending order (low share =
+  nev//2, high share = nev - nev//2, the dsgets.f:166-171 swap
+  convention), re-derived with the inflated nev before the chase.
 * dsapps: per-shift explicit QR of (T - mu I) — orthogonally identical to
   the bulge chase — as a ``lax.scan`` of ``jnp.linalg.qr`` over a
   static-length masked shift list; tridiagonal truncation after each
@@ -76,8 +78,6 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
     """Build the jitted fused cycle: (state, is_last) -> CycleOut."""
     if not cfg.symmetric:
         raise ValueError("fused cycle is for symmetric/Hermitian problems")
-    if cfg.which == "BE":
-        raise ValueError("which='BE' uses the hybrid path")
     ncv, nev0 = cfg.ncv, cfg.nev
     np0 = ncv - nev0
     rdt = _dt.real_dtype(cfg.dtype)
@@ -100,8 +100,35 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
         bounds = jnp.abs(state.rnorm * S[ncv - 1, :]).astype(rdt)
 
         # ---- dsgets: wanted last ----
-        order = jnp.argsort(_which_key(cfg.which, evals))
-        r_s, b_s = evals[order], bounds[order]
+        if cfg.which == "BE":
+            # 'BE' splits both ends (SRC/dsgets.f:154-171): ascending
+            # sort, then [unwanted middle, low half, high half] — the
+            # split depends on nev, so the permutation is index
+            # arithmetic over the ascending order (re-derived with the
+            # inflated nev inside apply_shifts).
+            order_a = jnp.argsort(evals)
+            r_a, b_a = evals[order_a], bounds[order_a]
+
+            def be_arrange(vals_a, nev):
+                # low-end share is kev//2, high-end share kev - kev//2
+                # (dsgets.f:166-171 convention; see reduced.sym_gets)
+                lo = nev // 2
+                hi = nev - lo
+                np_ = jnp.int32(ncv) - nev
+                src = jnp.where(
+                    iota < np_, lo + iota,
+                    jnp.where(iota < np_ + lo, iota - np_,
+                              (jnp.int32(ncv) - hi)
+                              + (iota - np_ - lo)))
+                return vals_a[src]
+
+            r_s = be_arrange(r_a, jnp.int32(nev0))
+            b_s = be_arrange(b_a, jnp.int32(nev0))
+        else:
+            order = jnp.argsort(_which_key(cfg.which, evals))
+            r_s, b_s = evals[order], bounds[order]
+            r_a = b_a = None
+            be_arrange = None
 
         # ---- dsconv over the nev0 wanted ----
         wanted, wb = r_s[np0:], b_s[np0:]
@@ -126,9 +153,17 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
 
         def apply_shifts(args):
             state, r_s, b_s, nev_eff, np_eff = args
+            if cfg.which == "BE":
+                # the BE split moved with the inflated nev: re-derive the
+                # [middle, low, high] arrangement (the reference re-calls
+                # dsgets after inflation, SRC/dsaup2.f:690-693)
+                r_s = be_arrange(r_a, nev_eff)
+                b_s = be_arrange(b_a, nev_eff)
             # shifts: leading np_eff of the sorted array, ordered by
             # descending Ritz estimate; masked-out slots get +inf key and
-            # are skipped in the chase.
+            # are skipped in the chase.  Zero-bound (unremovable) entries
+            # sort to the tail of the bound ordering and fall outside the
+            # active cutoff.
             active0 = iota < np_eff
             skey = jnp.where(active0[:np0], -jnp.abs(b_s[:np0]),
                              jnp.asarray(jnp.inf, rdt))

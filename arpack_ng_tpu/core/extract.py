@@ -121,10 +121,12 @@ def extract(op: Operator, cfg: IRAMConfig, result: IRAMResult,
     # most-wanted nconv among the converged, per `which`
     real_pairs = (not sym) and (not is_cplx)
     if sym and cfg.which == "BE":
-        # both ends: alternate largest/smallest — take extremes
+        # both ends: nconv//2 from the low end, nconv - nconv//2 from the
+        # high end — the dsgets/dsaup2 split convention (dsgets.f:166-171;
+        # verified against the library for odd counts)
         order = np.argsort(theta_all[idx_conv], kind="stable")
-        half_hi = nconv // 2
-        half_lo = nconv - half_hi
+        half_lo = nconv // 2
+        half_hi = nconv - half_lo
         pick = np.concatenate([order[:half_lo],
                                order[len(order) - half_hi:]])
     else:

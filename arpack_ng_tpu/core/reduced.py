@@ -150,12 +150,15 @@ def sym_gets(which: str, kev: int, np_: int, ritz: np.ndarray,
     if which == "BE":
         order = np.argsort(ritz, kind="stable")
         r, b = ritz[order], bounds[order]
-        # wanted: kev-kev//2 from the low end, kev//2 from the high end
-        # (SRC/dsgets.f:154-171); unwanted middle block becomes the shifts.
+        # wanted: kev//2 from the low end, kev-kev//2 from the high end —
+        # dsgets.f:166-171 swaps the kevd2=kev/2 SMALLEST into the wanted
+        # block next to the kev-kevd2 largest (verified against the
+        # library for odd kev; the previous split here was inverted).
+        # The unwanted middle block becomes the shifts.
         kevd2 = kev // 2
-        lo = np.arange(0, kev - kevd2)
-        hi = np.arange(k - kevd2, k)
-        mid = np.arange(kev - kevd2, k - kevd2)
+        lo = np.arange(0, kevd2)
+        hi = np.arange(k - (kev - kevd2), k)
+        mid = np.arange(kevd2, k - (kev - kevd2))
         perm = np.concatenate([mid, lo, hi])
         r, b = r[perm], b[perm]
     else:
@@ -362,9 +365,22 @@ def exit_sort(which: str, nev0: int, nconv: int, ritz: np.ndarray,
     (SRC/dsaup2.f:536-638)."""
     k = ritz.shape[0]
     if symmetric and which == "BE":
-        order = np.argsort(-ritz, kind="stable")  # 'SA': decreasing
+        # decreasing sort, then swap the low end of the spectrum into the
+        # wanted block: first nev0 = (nev0 - nev0//2) largest + nev0//2
+        # smallest (SRC/dsaup2.f:536-556 — the dswap at :551-556; without
+        # it the odd-nev0 low/high split is wrong).
+        order = np.argsort(-ritz, kind="stable")
         r, b = ritz[order], bounds[order]
-        # interleave handled below by the final ascending sort of converged
+        nevd2 = nev0 // 2
+        nevm2 = nev0 - nevd2
+        np_ = k - nev0
+        m = min(nevd2, np_)
+        if nev0 > 1 and m > 0:
+            lo_idx = np.arange(nevm2, nevm2 + m)
+            hi_start = max(k - nevd2, k - np_)
+            hi_idx = np.arange(hi_start, hi_start + m)
+            r[lo_idx], r[hi_idx] = r[hi_idx].copy(), r[lo_idx].copy()
+            b[lo_idx], b[hi_idx] = b[hi_idx].copy(), b[lo_idx].copy()
     else:
         # sort opposite to which -> wanted part lands FIRST
         key = sort_key(which, ritz, real_pairs)

@@ -48,16 +48,26 @@ def test_fused_generalized_mode3():
                                rtol=1e-8)
 
 
-def test_fused_rejects_be():
-    from arpack_ng_tpu.config import IRAMConfig
-    from arpack_ng_tpu.core.device_sym import make_sym_cycle
+def test_fused_be():
+    """BE on the fused path: even k takes k/2 from each end."""
     op = at.from_diagonal(np.arange(1.0, 101.0))
-    cfg = IRAMConfig(n=100, nev=4, ncv=12, which="BE", symmetric=True,
-                     dtype=np.float64, n_pad=op.n_pad)
-    with pytest.raises(ValueError, match="BE"):
-        make_sym_cycle(op, cfg)
-    # but the api auto-routes BE to the hybrid path
-    vals = at.eigsh(op, k=4, which="BE", tol=1e-10,
+    vals = at.eigsh(op, k=4, which="BE", tol=1e-10, strategy="fused",
                     return_eigenvectors=False)
     np.testing.assert_allclose(np.sort(vals), [1.0, 2.0, 99.0, 100.0],
                                rtol=1e-9)
+
+
+@pytest.mark.parametrize("strategy", ["fused", "hybrid"])
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_be_odd_k_split_convention(strategy, k):
+    """Regression: for odd k, 'BE' takes k//2 from the LOW end and
+    k - k//2 from the HIGH end (dsgets.f:166-171, dsaup2.f:551-556 swap;
+    both the gets/exit arrangement and the extraction split had this
+    inverted, returning one extra low value instead of a high one)."""
+    d = np.arange(1.0, 101.0)
+    op = at.from_diagonal(d)
+    vals = at.eigsh(op, k=k, which="BE", ncv=20, tol=1e-10,
+                    strategy=strategy, return_eigenvectors=False)
+    lo = k // 2
+    want = np.concatenate([d[:lo], d[100 - (k - lo):]])
+    np.testing.assert_allclose(np.sort(vals), want, rtol=1e-9)
