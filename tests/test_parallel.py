@@ -63,6 +63,20 @@ class TestDistributedEigsh:
                              maxiter=800, mesh=mesh8)
         assert residual(a_sp, vals, vecs).max() < 1e-7
 
+    def test_fused_real_dist_matches_single(self, mesh8):
+        """The fused real-nonsym whole-loop-on-device path under
+        PARPACK-style shardings: same eigenvalues as single-device."""
+        nx = 12
+        op, a_sp = models.convection_diffusion_2d(nx, rho=50.0,
+                                                  dtype=np.float64)
+        kw = dict(k=4, which="LM", ncv=20, tol=1e-9, maxiter=800,
+                  strategy="fused_real")
+        vals_m, vecs_m = at.eigs(op, mesh=mesh8, **kw)
+        vals_1, _ = at.eigs(op, **kw)
+        np.testing.assert_allclose(np.sort_complex(vals_m),
+                                   np.sort_complex(vals_1), rtol=1e-7)
+        assert residual(a_sp, vals_m, vecs_m).max() < 1e-7
+
 
 class TestShardingLayout:
     def test_state_is_sharded(self, mesh8):
