@@ -204,12 +204,13 @@ def eigs(
         tol=tol, max_iter=maxiter if maxiter is not None else max(300, 10),
         symmetric=False, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed,
         cgs_kernel=cgs_kernel)
-    if (strategy == "auto" and op.bmat == "I" and op.mode == 1
+    if (strategy == "auto"
             and not np.issubdtype(np.dtype(op.dtype), np.complexfloating)):
-        # standard real problems default to the fused real-arithmetic
-        # device loop (2.9x over the hybrid host split on TPU, and it
-        # runs on complex-incapable backends); generalized/transformed
-        # modes and complex dtypes keep the reference-faithful hybrid.
+        # real problems default to the fused real-arithmetic device loop
+        # (2.9x over the hybrid host split on TPU, and it runs on
+        # complex-incapable backends); validated identical to the hybrid
+        # on standard, generalized and shift-invert problems.  Complex
+        # dtypes keep the reference-faithful hybrid by default.
         strategy = "fused_real"
     if strategy == "fused":
         from .core.device_nonsym import (FusedNonsymSolver,

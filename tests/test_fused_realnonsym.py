@@ -137,6 +137,33 @@ class TestFusedRealNonsym:
         with pytest.raises(ValueError, match="fused_real"):
             at.eigs(a.astype(np.complex128), k=3, strategy="fused_real")
 
+    def test_generalized(self, rng):
+        """A x = lambda M x (bmat='G') through the fused real cycle."""
+        n = 400
+        a = _banded_nonsym(rng, n=n)
+        m = sp.diags(1.0 + 0.5 * rng.random(n)).tocsr()
+        vals, vecs = at.eigs(a, k=4, M=m, which="LM", ncv=24, tol=1e-10,
+                             maxiter=1500, strategy="fused_real",
+                             dtype=np.float64)
+        for i in range(4):
+            r = np.linalg.norm(a @ vecs[:, i] - vals[i] * (m @ vecs[:, i]))
+            assert r < 1e-8 * abs(vals[i])
+
+    def test_shift_invert(self, rng):
+        a = _banded_nonsym(rng, n=400)
+        vals, vecs = at.eigs(a, k=4, sigma=2.0, which="LM", ncv=24,
+                             tol=1e-10, maxiter=1500,
+                             strategy="fused_real", dtype=np.float64)
+        vals_h, _ = at.eigs(a, k=4, sigma=2.0, which="LM", ncv=24,
+                            tol=1e-10, maxiter=1500, strategy="hybrid",
+                            dtype=np.float64)
+        np.testing.assert_allclose(np.sort_complex(np.round(vals, 7)),
+                                   np.sort_complex(np.round(vals_h, 7)),
+                                   atol=1e-5)
+        for i in range(4):
+            r = np.linalg.norm(a @ vecs[:, i] - vals[i] * vecs[:, i])
+            assert r < 1e-6 * abs(vals[i])
+
     def test_conv_diffusion_lm(self):
         from arpack_ng_tpu import models
         op, a = models.convection_diffusion_2d(14, dtype=np.float64)
