@@ -10,6 +10,7 @@ signature compatibility a free parity test surface.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Optional, Union
 
 import numpy as np
@@ -189,8 +190,12 @@ def eigs(
     only) keeps the fused loop in REAL arithmetic: device real Schur via
     explicit double-shift QR, pair-preserving shift selection — single
     matvec cost and runs on complex-incapable backends
-    (core/device_realnonsym.py).  ``'hybrid'`` (and 'auto', the default)
-    mirrors the reference's host LAPACK reduced space."""
+    (core/device_realnonsym.py); the 'auto' default for real problems.
+    Its reduced space runs in the PROBLEM dtype — float32 solves match
+    the reference's single-precision (snaupd) semantics; pass
+    ``strategy='hybrid'`` for the host-float64 reduced space (stronger
+    than snaupd) if an ill-conditioned f32 problem stalls.  ``'hybrid'``
+    remains the 'auto' default for complex dtypes."""
     if sigma is not None or M is not None:
         from .ops import transforms
         op = transforms.build_nonsym_operator(A, M=M, sigma=sigma,
@@ -216,11 +221,9 @@ def eigs(
         from .core.device_nonsym import (FusedNonsymSolver,
                                          complexify_operator)
         op = complexify_operator(op)
-        cfg = IRAMConfig(
-            n=cfg.n, nev=cfg.nev, ncv=cfg.ncv, which=cfg.which,
-            bmat=cfg.bmat, mode=cfg.mode, tol=cfg.tol,
-            max_iter=cfg.max_iter, symmetric=False,
-            dtype=np.dtype(op.dtype), n_pad=cfg.n_pad, seed=cfg.seed)
+        # preserve every config field (incl. cgs_kernel, which the
+        # complex-dtype validation in make_extend then vets)
+        cfg = dataclasses.replace(cfg, dtype=np.dtype(op.dtype))
         solver = FusedNonsymSolver(op, cfg, mesh=mesh)
     elif strategy == "fused_real":
         if np.issubdtype(np.dtype(op.dtype), np.complexfloating):

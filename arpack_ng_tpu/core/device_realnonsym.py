@@ -405,17 +405,24 @@ def make_realnonsym_cycle(op: Operator, cfg: IRAMConfig):
                                       nev_inf))
         nev_eff = jnp.minimum(nev_inf, ncv - 1)
         np_eff = jnp.int32(ncv) - nev_eff
-        # re-check the (possibly moved) boundary for a split pair
+        # re-check the (possibly moved) boundary for a split pair.  The
+        # normal adjustment grows kev (dngets.f:165-176); when that would
+        # leave np_eff == 0 (nothing to shift -> a no-op cycle that would
+        # corrupt the residual update, cf. dnapps' 'if (np .eq. 0)' exit
+        # guard), take BOTH pair members as shifts instead.
         str1 = _straddle(wr_s, wi_s, np_eff)
-        np_eff = np_eff - str1
-        nev_eff = nev_eff + str1
+        shrink = str1 & (np_eff > 1)
+        grow = str1 & (np_eff <= 1)
+        np_eff = np_eff - shrink + grow
+        nev_eff = nev_eff + shrink - grow
 
         def apply_shifts(args):
             state, wr_s, wi_s, b_s, nev_eff, np_eff = args
             active0 = iota < np_eff
-            # shifts with largest bounds first (dngets.f:180-187); pair
-            # members tie exactly (bounds symmetrized), stable sort keeps
-            # them adjacent with +wi first
+            # shift pool = the np_eff least-wanted values (positional,
+            # dsaup2.f:516-521), applied largest bound first
+            # (dngets.f:180-187); pair members tie exactly (bounds
+            # symmetrized), stable sort keeps them adjacent with +wi first
             skey = jnp.where(active0[:np0], -jnp.abs(b_s[:np0]),
                              jnp.asarray(jnp.inf, rdt))
             sperm = jnp.argsort(skey, stable=True)
@@ -530,9 +537,11 @@ class FusedRealNonsymSolver:
             raise ValueError("FusedRealNonsymSolver is for real dtypes")
         if cfg.symmetric:
             raise ValueError("use FusedSymSolver for symmetric problems")
-        if mesh is not None and cfg.cgs_kernel == "auto":
-            import dataclasses
-            cfg = dataclasses.replace(cfg, cgs_kernel="xla")
+        if mesh is not None and cfg.cgs_kernel == "pallas":
+            # no GSPMD partitioning rule for pallas_call; 'auto' already
+            # resolves to the (correctly sharding) XLA contractions
+            raise ValueError("cgs_kernel='pallas' does not support "
+                             "mesh-sharded solves; use the default")
         self.op, self.cfg, self.mesh = op, cfg, mesh
         self.cycles_per_dispatch = cycles_per_dispatch
         if not cfg.exact_shifts:

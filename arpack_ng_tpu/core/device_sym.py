@@ -159,11 +159,11 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
                 # dsgets after inflation, SRC/dsaup2.f:690-693)
                 r_s = be_arrange(r_a, nev_eff)
                 b_s = be_arrange(b_a, nev_eff)
-            # shifts: leading np_eff of the sorted array, ordered by
-            # descending Ritz estimate; masked-out slots get +inf key and
-            # are skipped in the chase.  Zero-bound (unremovable) entries
-            # sort to the tail of the bound ordering and fall outside the
-            # active cutoff.
+            # shifts: the np_eff LEAST-WANTED values (leading positions of
+            # the which-order — the positional exclusion of dsaup2.f:516-521,
+            # which drops the trailing entries when zero-bound values shrink
+            # np), re-ordered largest Ritz estimate first for application;
+            # masked-out slots get +inf key and are skipped in the chase.
             active0 = iota < np_eff
             skey = jnp.where(active0[:np0], -jnp.abs(b_s[:np0]),
                              jnp.asarray(jnp.inf, rdt))
@@ -278,11 +278,12 @@ class FusedSymSolver:
 
     def __init__(self, op: Operator, cfg: IRAMConfig, mesh=None,
                  cycles_per_dispatch: int = 16):
-        if mesh is not None and cfg.cgs_kernel == "auto":
-            # a pallas_call inside a GSPMD-partitioned program would not
-            # shard; the sharded path uses the XLA contractions
-            import dataclasses
-            cfg = dataclasses.replace(cfg, cgs_kernel="xla")
+        if mesh is not None and cfg.cgs_kernel == "pallas":
+            # a pallas_call has no GSPMD partitioning rule: it would
+            # force gathers of the row-sharded basis ('auto' already
+            # resolves to the XLA contractions, which shard correctly)
+            raise ValueError("cgs_kernel='pallas' does not support "
+                             "mesh-sharded solves; use the default")
         self.op, self.cfg, self.mesh = op, cfg, mesh
         #: restart cycles executed per device dispatch (the on-device
         #: while_loop exits early on convergence, so large values cost

@@ -61,10 +61,12 @@ class IRAMSolver:
             raise ValueError("operator/config dimension mismatch")
         if op.bmat != cfg.bmat:
             raise ValueError("operator/config bmat mismatch")
-        if mesh is not None and cfg.cgs_kernel == "auto":
-            # a pallas_call inside a GSPMD-partitioned program would not
-            # shard; the sharded path uses the XLA contractions
-            cfg = dataclasses.replace(cfg, cgs_kernel="xla")
+        if mesh is not None and cfg.cgs_kernel == "pallas":
+            # a pallas_call has no GSPMD partitioning rule: it would
+            # force gathers of the row-sharded basis ('auto' already
+            # resolves to the XLA contractions, which shard correctly)
+            raise ValueError("cgs_kernel='pallas' does not support "
+                             "mesh-sharded solves; use the default")
         self.op = op
         self.cfg = cfg
         self.mesh = mesh

@@ -42,11 +42,10 @@ MAX_FAST_ROWS = 24
 
 #: default tile: columns of V streamed per grid step (per 128-lane row);
 #: scaled down at high row counts to bound the per-step VMEM block
+#: (measured best: 32 at <=16 rows, 16 at 24 rows — bench_pallas_tune.py).
+#: Both values satisfy bf16's 16-sublane minimum for the (tile, 128) dims.
 def _default_tile(rows: int, v_dtype) -> int:
-    base = 16 if rows > 16 else 32
-    if jnp.dtype(v_dtype) == jnp.dtype(jnp.bfloat16):
-        base = max(base, 16)
-    return base
+    return 16 if rows > 16 else 32
 
 
 def _pick_tpl(npl: int, tpl: int) -> int:
