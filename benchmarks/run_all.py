@@ -4,7 +4,7 @@ Measures, with the readback-forced protocol (see docs/PERF.md — naive
 timing lies on remote-attached TPUs):
 
   * fused symmetric eigensolve cycles (the bench.py headline)
-  * fused non-symmetric (complexified) eigensolve cycles
+  * fused non-symmetric (real-arithmetic device loop) cycles
   * SpMV backends: DIA (XLA), DIA (Pallas), stencil
   * mixed-precision (bf16 storage) symmetric cycles
 
@@ -13,10 +13,13 @@ Usage:  python benchmarks/run_all.py [--small]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _force(x):
@@ -52,21 +55,22 @@ def bench_sym(nx, ncv, nev, dtype, storage=None, cycles=20):
 
 
 def bench_nonsym(nx, ncv, nev, cycles=20):
+    """Fused REAL non-symmetric cycles (the eigs 'auto' default path;
+    runs on complex-incapable backends, unlike the complexified
+    variant this measured before)."""
     import jax
     import jax.numpy as jnp
 
     from arpack_ng_tpu import models
     from arpack_ng_tpu.config import IRAMConfig
-    from arpack_ng_tpu.core.device_nonsym import (FusedNonsymSolver,
-                                                  complexify_operator)
+    from arpack_ng_tpu.core.device_realnonsym import FusedRealNonsymSolver
 
-    op_r, _ = models.convection_diffusion_2d(nx, rho=100.0,
-                                             dtype=np.float32)
-    op = complexify_operator(op_r)
+    op, _ = models.convection_diffusion_2d(nx, rho=100.0,
+                                           dtype=np.float32)
     cfg = IRAMConfig(n=op.n, nev=nev, ncv=ncv, which="LM",
-                     symmetric=False, dtype=np.complex64, n_pad=op.n_pad,
-                     tol=1e-30, max_iter=100_000)
-    s = FusedNonsymSolver(op, cfg)
+                     symmetric=False, dtype=np.dtype(np.float32),
+                     n_pad=op.n_pad, tol=1e-30, max_iter=100_000)
+    s = FusedRealNonsymSolver(op, cfg)
     st = s.init_state()
     out = s._multi(st, jnp.int32(2), jnp.int32(100_000))
     st = out.state
@@ -130,6 +134,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    if args.small:
+        # sanity run: force CPU (the sitecustomize pre-import ignores
+        # JAX_PLATFORMS set this late via env)
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/root/repo/.jax_cache")
@@ -151,13 +159,9 @@ def main():
     dt, c = bench_sym(nx, 32, 8, np.float32, storage="bfloat16")
     print(f"| sym fused f32 + bf16 storage | {dt*1e3:.1f} ms/cycle "
           f"| {c} cycles |")
-    try:
-        dt, c = bench_nonsym(nx_ns, 32, 8)
-        print(f"| nonsym fused c64 (complexified) | {dt*1e3:.1f} ms/cycle "
-              f"| {c} cycles |")
-    except Exception:
-        print("| nonsym fused c64 (complexified) | n/a | backend lacks "
-              "complex arithmetic (docs/PERF.md) |")
+    dt, c = bench_nonsym(nx_ns, 32, 8)
+    print(f"| nonsym fused real f32 | {dt*1e3:.1f} ms/cycle "
+          f"| {c} cycles |")
     try:
         spmv, nnz = bench_spmv((nx * nx))
     except Exception as e:
