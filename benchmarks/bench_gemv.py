@@ -101,3 +101,57 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def layout_ab():
+    """A/B: row layout (ncv, n) vs column layout (n, ncv) for the CGS
+    pair — decides whether the solver's V orientation leaves streaming
+    on the table (hidden transposes would show as a fixed per-pass
+    cost)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+    n = 1 << 20
+    iters = 200
+    bw = 819e9
+    rows = 32
+    rng = np.random.default_rng(0)
+    Vr = jnp.asarray(rng.standard_normal((rows, n)).astype(np.float32)) * 1e-3
+    Vc = jnp.asarray(np.asarray(Vr).T.copy())
+    w0 = jnp.ones((n,), jnp.float32)
+
+    def row_pair(V, w0):
+        def body(i, w):
+            h = V @ w
+            r = w - h @ V
+            return r + 1e-6 * jnp.abs(r)
+        return lax.fori_loop(0, iters, body, w0)
+
+    def col_pair(V, w0):
+        def body(i, w):
+            h = w @ V
+            r = w - V @ h
+            return r + 1e-6 * jnp.abs(r)
+        return lax.fori_loop(0, iters, body, w0)
+
+    pass_bytes = 2 * rows * n * 4 + 3 * n * 4
+    for name, fn, V in (("row (ncv,n)", row_pair, Vr),
+                        ("col (n,ncv)", col_pair, Vc)):
+        f = jax.jit(fn)
+        carry = f(V, w0)
+        float(jax.device_get(jnp.sum(carry)))
+        t0 = time.perf_counter()
+        out = f(V, carry)
+        float(jax.device_get(jnp.sum(out)))
+        per = (time.perf_counter() - t0) / iters
+        print(f"{name}: {per*1e3:.3f} ms/pair "
+              f"({pass_bytes/per/1e9:.0f} GB/s, "
+              f"{100*(pass_bytes/bw)/per:.0f}% SoL)")

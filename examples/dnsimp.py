@@ -4,6 +4,10 @@ complex conjugate pairs in real arithmetic).
 
 Run:  python examples/dnsimp.py [nx]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 
 import numpy as np

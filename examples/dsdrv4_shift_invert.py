@@ -4,6 +4,10 @@ sigma of a 1-D Laplacian / mass-matrix pencil.
 
 Run:  python examples/dsdrv4_shift_invert.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import scipy.sparse as sp
 

@@ -4,6 +4,10 @@ check ||A x - lambda x|| the reference driver self-reports.
 
 Run:  python examples/dssimp.py [nx]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 
 import numpy as np

@@ -3,6 +3,10 @@ Lanczos on the normal equations.
 
 Run:  python examples/svd.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 import arpack_ng_tpu as at
