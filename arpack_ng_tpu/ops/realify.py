@@ -71,6 +71,42 @@ def realify_dense(a: np.ndarray, *, hermitian: Optional[bool] = None
                     hermitian=bool(hermitian))
 
 
+def realify_sparse(a, *, hermitian: Optional[bool] = None) -> Operator:
+    """Sparse complex matrix -> real block Operator of dimension 2n,
+    routed through the structure-exploiting sparse importer.
+
+    The realified block matrix [[Ar, -Ai], [Ai, Ar]] of a banded complex
+    matrix has its nonzeros on ~3x the diagonal count (around offsets 0
+    and +-half), so the DIA streaming path applies directly — complex
+    sparse problems scale on real-only backends the same way real ones
+    do (the dense realification is O(4 n^2) memory and caps out fast)."""
+    import scipy.sparse as sp
+
+    from .sparse import from_scipy
+
+    if not sp.issparse(a):
+        raise ValueError("realify_sparse expects a scipy sparse matrix")
+    if not np.iscomplexobj(a):
+        raise ValueError("realify expects a complex matrix")
+    n = a.shape[0]
+    if hermitian is None:
+        hermitian = (abs(a - a.conj().T) > 1e-12).nnz == 0
+    rdt = np.float32 if a.dtype == np.complex64 else np.float64
+    half = pad_dim(n)
+    ar = sp.csr_matrix(a.real.astype(rdt))
+    ai = sp.csr_matrix(a.imag.astype(rdt))
+    # place the blocks at [0, n) and [half, half+n) so _recover's
+    # z = u[:n] + i u[half:half+n] layout matches realify_dense
+    def expand(m):
+        out = sp.lil_matrix((half, half), dtype=rdt)
+        out[:n, :n] = m
+        return out.tocsr()
+
+    are, aim = expand(ar), expand(ai)
+    a2 = sp.bmat([[are, -aim], [aim, are]]).tocsr()
+    return from_scipy(a2, hermitian=bool(hermitian), n_pad=2 * half)
+
+
 def _recover(vals, vecs, a, n: int, half: int, k: int):
     """Map realified eigenpairs back to the complex problem, picking for
     each eigenvalue whichever of (lambda, conj(lambda)) the candidate
@@ -122,9 +158,14 @@ def eigs_realified(a, k: int = 6, *, which: str = "LM",
     """
     from .. import api
 
-    a = np.asarray(a)
-    n = a.shape[0]
-    op = realify_dense(a, hermitian=hermitian)
+    import scipy.sparse as sp
+    if sp.issparse(a):
+        n = a.shape[0]
+        op = realify_sparse(a, hermitian=hermitian)
+    else:
+        a = np.asarray(a)
+        n = a.shape[0]
+        op = realify_dense(a, hermitian=hermitian)
     half = op.n_pad // 2
     k2 = min(2 * k, op.n - 2)
     if op.hermitian:
