@@ -98,9 +98,9 @@ def realify_sparse(a, *, hermitian: Optional[bool] = None) -> Operator:
     # place the blocks at [0, n) and [half, half+n) so _recover's
     # z = u[:n] + i u[half:half+n] layout matches realify_dense
     def expand(m):
-        out = sp.lil_matrix((half, half), dtype=rdt)
-        out[:n, :n] = m
-        return out.tocsr()
+        c = m.tocoo()
+        return sp.csr_matrix((c.data, (c.row, c.col)),
+                             shape=(half, half), dtype=rdt)
 
     are, aim = expand(ar), expand(ai)
     a2 = sp.bmat([[are, -aim], [aim, are]]).tocsr()
