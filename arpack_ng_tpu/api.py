@@ -134,6 +134,7 @@ def eigsh(
     strategy: str = "auto",
     storage_dtype=None,
     cgs_kernel: str = "auto",
+    restart: str = "implicit",
 ):
     """Symmetric/Hermitian eigensolver (dsaupd/dseupd equivalent).
 
@@ -157,7 +158,7 @@ def eigsh(
         n=n, nev=k, ncv=min(ncv, n), which=which, bmat=op.bmat, mode=op.mode,
         tol=tol, max_iter=maxiter if maxiter is not None else max(300, 10),
         symmetric=True, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed,
-        storage_dtype=storage_dtype, cgs_kernel=cgs_kernel)
+        storage_dtype=storage_dtype, cgs_kernel=cgs_kernel, restart=restart)
     return _solve(op, cfg, v0, return_eigenvectors, return_stats,
                   mesh=mesh, strategy=strategy)
 

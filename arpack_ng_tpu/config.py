@@ -58,6 +58,14 @@ class IRAMConfig:
     #   dominant HBM traffic of the orthogonalization at a documented
     #   accuracy cost (residual floor ~ ||A|| * eps(storage)).  A TPU-
     #   native capability with no reference equivalent.
+    restart: str = "implicit"   # symmetric fused-path restart scheme:
+    #   'implicit' (the reference's exact-shift QR bulge chase, dsapps)
+    #   or 'thick' (thick-restart Lanczos / Krylov-Schur class: keep the
+    #   wanted Ritz vectors directly with the arrowhead residual
+    #   coupling — mathematically equivalent to implicit restarts with
+    #   exact shifts [Wu & Simon 2000], numerically exact where the f32
+    #   QR chase accumulates rounding, and cheaper on device: one basis
+    #   GEMM instead of an np-step scan of QR factorizations)
     cgs_kernel: str = "auto"    # orthogonalization-pass backend:
     #   'auto'/'xla' (bucketed masked contractions — the measured
     #   end-to-end winner, docs/PERF.md), or 'pallas' (explicit opt-in:
@@ -102,6 +110,8 @@ class IRAMConfig:
         # symmetric reduced-space machinery applies unchanged.
         if self.cgs_kernel not in ("auto", "xla", "pallas"):
             raise ValueError("cgs_kernel must be 'auto', 'xla' or 'pallas'")
+        if self.restart not in ("implicit", "thick"):
+            raise ValueError("restart must be 'implicit' or 'thick'")
         if self.n_pad == 0:
             object.__setattr__(self, "n_pad", self.n)
         if self.n_pad < self.n:

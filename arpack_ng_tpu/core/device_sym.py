@@ -80,6 +80,10 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
         raise ValueError("fused cycle is for symmetric/Hermitian problems")
     ncv, nev0 = cfg.ncv, cfg.nev
     np0 = ncv - nev0
+    thick = cfg.restart == "thick"
+    if thick and cfg.which == "BE":
+        raise ValueError("restart='thick' does not support which='BE'; "
+                         "use the implicit restart")
     rdt = _dt.real_dtype(cfg.dtype)
     tol = jnp.asarray(cfg.tol_effective, rdt)
     eps23 = jnp.asarray(cfg.eps23, rdt)
@@ -92,10 +96,18 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
     def cycle(state: FactorizationState, is_last) -> CycleOut:
         state = extend(state, jnp.int32(ncv))
 
-        # ---- dseigt: Ritz values + bounds of the tridiagonal ----
-        d = jnp.diag(state.H).real.astype(rdt)
-        e = jnp.diag(state.H, -1).real.astype(rdt)
-        T = (jnp.diag(d) + jnp.diag(e, 1) + jnp.diag(e, -1))
+        # ---- dseigt: Ritz values + bounds of the projected matrix ----
+        if thick:
+            # thick-restart factorizations carry an arrowhead block:
+            # use the full upper triangle (the computed CGS projections;
+            # the lower subdiagonal holds Lanczos-convention beta writes
+            # that do not apply across a thick restart boundary)
+            Hf = state.H.real.astype(rdt)
+            T = jnp.triu(Hf) + jnp.triu(Hf, 1).T
+        else:
+            d = jnp.diag(state.H).real.astype(rdt)
+            e = jnp.diag(state.H, -1).real.astype(rdt)
+            T = (jnp.diag(d) + jnp.diag(e, 1) + jnp.diag(e, -1))
         evals, S = jnp.linalg.eigh(T)
         bounds = jnp.abs(state.rnorm * S[ncv - 1, :]).astype(rdt)
 
@@ -223,11 +235,37 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
                                   nev_cur=nev_eff, iter=state.iter + 1,
                                   counts=counts)
 
+        def thick_restart(args):
+            """Krylov-Schur-class restart: keep the wanted nev_eff Ritz
+            vectors directly (V <- S_kept^T V), H <- diag(theta_kept),
+            resid/rnorm UNCHANGED — the residual couples to every kept
+            vector through the arrow entries, which the next extension
+            step's CGS projections deliver into H's upper triangle.
+            Mathematically equivalent to the implicit exact-shift chase
+            (Wu & Simon 2000), with no bulge-chase rounding."""
+            state, r_s, b_s, nev_eff, np_eff = args
+            # arrange kept (wanted) eigen-indices first: positions
+            # p >= np_eff of `order` are the wanted ones; stable argsort
+            # of the unwanted flag puts them first in ascending order
+            src = order[jnp.argsort(iota < np_eff, stable=True)]
+            theta = evals[src]
+            sdt = state.V.dtype
+            R = S[:, src].T.astype(rdt)
+            VQ = lax.dot_general(
+                R.astype(sdt), state.V, (((1,), (0,)), ((), ())),
+                preferred_element_type=cfg.dtype).astype(sdt)
+            H_new = jnp.diag(jnp.where(iota < nev_eff, theta,
+                                       jnp.zeros((), rdt))
+                             ).astype(cfg.dtype)
+            return state._replace(V=VQ, H=H_new, k=nev_eff,
+                                  nev_cur=nev_eff, iter=state.iter + 1)
+
         def skip_shifts(args):
             state = args[0]
             return state._replace(iter=state.iter + 1)
 
-        state = lax.cond(done | is_last, skip_shifts, apply_shifts,
+        state = lax.cond(done | is_last, skip_shifts,
+                         thick_restart if thick else apply_shifts,
                          (state, r_s, b_s, nev_eff, np_eff))
         return CycleOut(state=state, done=done, nconv=nconv, ritz_s=r_s,
                         bounds_s=b_s)

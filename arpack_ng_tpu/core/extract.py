@@ -98,10 +98,21 @@ def extract(op: Operator, cfg: IRAMConfig, result: IRAMResult,
 
     # ---- reduced eigensystem from the final factorization ----
     if sym:
-        alpha = np.diag(H).real.copy()
-        beta = np.diag(H, -1).real.copy() if kplusp > 1 else np.zeros(0)
-        theta_all, bounds_all, S = reduced.sym_eigt(alpha, beta, rnorm)
-        S = S.astype(host_dtype)
+        if getattr(cfg, "restart", "implicit") == "thick":
+            # thick-restart factorizations carry an arrowhead block, not
+            # a tridiagonal: solve the full projected matrix, using the
+            # upper triangle (the computed CGS projections; the lower
+            # subdiagonal holds Lanczos-convention beta writes that do
+            # not apply across a thick restart boundary)
+            Tfull = np.triu(H.real) + np.triu(H.real, 1).T
+            theta_all, Sr = np.linalg.eigh(Tfull)
+            bounds_all = np.abs(rnorm * Sr[-1, :])
+            S = Sr.astype(host_dtype)
+        else:
+            alpha = np.diag(H).real.copy()
+            beta = np.diag(H, -1).real.copy() if kplusp > 1 else np.zeros(0)
+            theta_all, bounds_all, S = reduced.sym_eigt(alpha, beta, rnorm)
+            S = S.astype(host_dtype)
     else:
         theta_all, bounds_all, S = reduced.nonsym_eigt(H, rnorm)
 

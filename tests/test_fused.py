@@ -71,3 +71,46 @@ def test_be_odd_k_split_convention(strategy, k):
     lo = k // 2
     want = np.concatenate([d[:lo], d[100 - (k - lo):]])
     np.testing.assert_allclose(np.sort(vals), want, rtol=1e-9)
+
+
+@pytest.mark.parametrize("which", ["LA", "SA", "LM"])
+def test_thick_restart_matches_implicit(which):
+    """restart='thick' (Krylov-Schur class) is mathematically equivalent
+    to implicit exact-shift restarts [Wu & Simon 2000] — same converged
+    values on the same problems."""
+    from arpack_ng_tpu import models
+    op, a = models.laplacian_2d(30, dtype=np.float64)
+    v_t, V_t = at.eigsh(op, k=4, which=which, ncv=20, tol=1e-10,
+                        restart="thick", maxiter=3000)
+    v_i, _ = at.eigsh(op, k=4, which=which, ncv=20, tol=1e-10,
+                      restart="implicit", maxiter=3000)
+    np.testing.assert_allclose(np.sort(v_t), np.sort(v_i), rtol=1e-9)
+    for i in range(4):
+        r = np.linalg.norm(a @ V_t[:, i] - v_t[i] * V_t[:, i])
+        assert r < 1e-8
+
+
+def test_thick_restart_generalized():
+    """Thick restart with bmat='G': the arrow coupling reasoning holds in
+    the B-inner product (resid and b_resid carried unchanged)."""
+    import scipy.sparse as sp
+    rng = np.random.default_rng(3)
+    n = 500
+    a = sp.diags([np.ones(n - 1), 4.0 + rng.random(n), np.ones(n - 1)],
+                 [-1, 0, 1]).tocsr()
+    m = sp.diags(1.0 + rng.random(n)).tocsr()
+    v_t, V_t = at.eigsh(a, k=4, M=m, which="LA", ncv=20, tol=1e-10,
+                        restart="thick", maxiter=3000, dtype=np.float64)
+    v_i = at.eigsh(a, k=4, M=m, which="LA", ncv=20, tol=1e-10,
+                   restart="implicit", maxiter=3000, dtype=np.float64,
+                   return_eigenvectors=False)
+    np.testing.assert_allclose(np.sort(v_t), np.sort(v_i), rtol=1e-8)
+    for i in range(4):
+        r = np.linalg.norm(a @ V_t[:, i] - v_t[i] * (m @ V_t[:, i]))
+        assert r < 1e-8
+
+
+def test_thick_rejects_be():
+    op = at.from_diagonal(np.arange(1.0, 101.0))
+    with pytest.raises(ValueError, match="thick"):
+        at.eigsh(op, k=4, which="BE", restart="thick", strategy="fused")
