@@ -58,6 +58,31 @@ def _solve(op: Operator, cfg: IRAMConfig, v0, return_eigenvectors,
     return ret
 
 
+def _resolve_storage(storage_dtype, dtype, tol, pro_active=False):
+    """Resolve ``storage_dtype='auto'``: bfloat16 basis storage when the
+    requested tolerance permits it.
+
+    bf16 storage halves the dominant HBM-traffic term of the full-CGS
+    paths (V streams) at a measured accuracy floor of ~0.8% relative
+    (~2*eps(bf16)*||A||, docs/PERF.md) — so it is enabled automatically
+    only for real float32 problems whose tol is comfortably above that
+    floor.  When partial-reorthogonalization Lanczos is active
+    (``pro_active``) the basis is no longer streamed every step, so narrow
+    storage buys almost nothing while raising the omega noise floor —
+    auto keeps full precision there.  Pass ``storage_dtype=None`` to force
+    full-precision storage, or an explicit dtype to force narrow storage
+    regardless of tol.
+    """
+    if not (isinstance(storage_dtype, str) and storage_dtype == "auto"):
+        return storage_dtype
+    if pro_active or np.dtype(dtype) != np.dtype(np.float32):
+        return None
+    if tol is not None and tol >= 1e-2:
+        import jax.numpy as jnp
+        return jnp.bfloat16
+    return None
+
+
 def _make_solver(op, cfg, shift_fn=None, mesh=None, strategy="auto"):
     """Pick the execution strategy.
 
@@ -132,9 +157,10 @@ def eigsh(
     seed: int = 0,
     mesh=None,
     strategy: str = "auto",
-    storage_dtype=None,
+    storage_dtype="auto",
     cgs_kernel: str = "auto",
     restart: str = "implicit",
+    reorth: str = "auto",
 ):
     """Symmetric/Hermitian eigensolver (dsaupd/dseupd equivalent).
 
@@ -154,11 +180,22 @@ def eigsh(
         op = _as_operator(A, dtype=dtype, hermitian=True)
     n = op.n
     ncv = ncv if ncv is not None else default_ncv(n, k, symmetric=True)
+    if reorth == "auto":
+        # Symmetric/Hermitian problems run Lanczos, where semi-
+        # orthogonality provably preserves eps-level Ritz accuracy
+        # (Simon 1984) — partial reorthogonalization is the default and
+        # removes the dominant V-traffic term (docs/PERF.md round-2).
+        reorth = "selective"
+    pro_active = (reorth == "selective" and op.bmat == "I"
+                  and restart == "implicit")
+    storage_dtype = _resolve_storage(storage_dtype, op.dtype, tol,
+                                     pro_active=pro_active)
     cfg = IRAMConfig(
         n=n, nev=k, ncv=min(ncv, n), which=which, bmat=op.bmat, mode=op.mode,
-        tol=tol, max_iter=maxiter if maxiter is not None else max(300, 10),
+        tol=tol, max_iter=maxiter if maxiter is not None else 10 * n,
         symmetric=True, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed,
-        storage_dtype=storage_dtype, cgs_kernel=cgs_kernel, restart=restart)
+        storage_dtype=storage_dtype, cgs_kernel=cgs_kernel, restart=restart,
+        reorth=reorth)
     return _solve(op, cfg, v0, return_eigenvectors, return_stats,
                   mesh=mesh, strategy=strategy)
 
@@ -182,6 +219,7 @@ def eigs(
     mesh=None,
     strategy: str = "auto",
     cgs_kernel: str = "auto",
+    reorth: str = "auto",
 ):
     """Non-symmetric / complex eigensolver (dnaupd/dneupd, znaupd/zneupd).
 
@@ -205,11 +243,16 @@ def eigs(
         op = _as_operator(A, dtype=dtype, hermitian=False)
     n = op.n
     ncv = ncv if ncv is not None else default_ncv(n, k, symmetric=False)
+    if reorth == "auto":
+        # Arnoldi (non-symmetric) keeps the reference's DGKS trigger: the
+        # semi-orthogonality argument behind 'selective' is a Lanczos
+        # result; pass reorth='selective' explicitly to opt in.
+        reorth = "dgks"
     cfg = IRAMConfig(
         n=n, nev=k, ncv=min(ncv, n), which=which, bmat=op.bmat, mode=op.mode,
-        tol=tol, max_iter=maxiter if maxiter is not None else max(300, 10),
+        tol=tol, max_iter=maxiter if maxiter is not None else 10 * n,
         symmetric=False, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed,
-        cgs_kernel=cgs_kernel)
+        cgs_kernel=cgs_kernel, reorth=reorth)
     if (strategy == "auto"
             and not np.issubdtype(np.dtype(op.dtype), np.complexfloating)):
         # real problems default to the fused real-arithmetic device loop

@@ -66,6 +66,21 @@ class IRAMConfig:
     #   exact shifts [Wu & Simon 2000], numerically exact where the f32
     #   QR chase accumulates rounding, and cheaper on device: one basis
     #   GEMM instead of an np-step scan of QR factorizations)
+    reorth: str = "dgks"        # refinement-trigger policy for the Arnoldi
+    #   step's iterative reorthogonalization:
+    #   'dgks'      — the reference's test: refine whenever the CGS pass
+    #                 shed more than a factor 0.717 of the norm
+    #                 (SRC/dsaitr.f:656).  Safe but fires on most steps of
+    #                 well-conditioned problems (measured ~82% on the 2-D
+    #                 Laplacian flagship, docs/PERF.md) — each firing costs
+    #                 two extra full passes over V on a V-bandwidth-bound
+    #                 solver.
+    #   'selective' — refine only when one CGS pass cannot guarantee
+    #                 SEMI-orthogonality (defect <= sqrt(eps)): trigger at
+    #                 rnorm <= 8*sqrt(eps)*wnorm (utils/dtypes.selective_eta).
+    #                 Semi-orthogonality preserves eps-level Ritz accuracy
+    #                 for Lanczos (Simon 1984); the acceptance test inside
+    #                 the refinement loop keeps the reference's 0.717 rule.
     cgs_kernel: str = "auto"    # orthogonalization-pass backend:
     #   'auto'/'xla' (bucketed masked contractions — the measured
     #   end-to-end winner, docs/PERF.md), or 'pallas' (explicit opt-in:
@@ -110,6 +125,8 @@ class IRAMConfig:
         # symmetric reduced-space machinery applies unchanged.
         if self.cgs_kernel not in ("auto", "xla", "pallas"):
             raise ValueError("cgs_kernel must be 'auto', 'xla' or 'pallas'")
+        if self.reorth not in ("dgks", "selective"):
+            raise ValueError("reorth must be 'dgks' or 'selective'")
         if self.restart not in ("implicit", "thick"):
             raise ValueError("restart must be 'implicit' or 'thick'")
         if self.n_pad == 0:

@@ -34,6 +34,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..config import IRAMConfig
@@ -185,6 +186,16 @@ def make_extend(op: Operator, cfg: IRAMConfig):
     rdt = _dt.real_dtype(dtype)
     is_g = op.bmat == "G"
     eta = jnp.asarray(_dt.DGKS_ETA, rdt)
+    # reorth='selective' switches the SYMMETRIC STANDARD path to
+    # partial-reorthogonalization Lanczos (three-term recurrence + omega
+    # tracking, see _step_pro below); everywhere else it has no effect and
+    # the reference's full-CGS + DGKS step runs unchanged.  (A relaxed
+    # DGKS *trigger* on the full-CGS step is unsound: the new column's
+    # defect is amplified through the existing basis defect ||Delta||*kappa
+    # per step, so it compounds geometrically — measured blowup within a
+    # few restart cycles.)
+    use_pro = (cfg.reorth == "selective" and cfg.symmetric
+               and op.bmat == "I" and cfg.restart == "implicit")
     tiny = jnp.asarray(_dt.safmin(dtype), rdt)
     col_idx = jnp.arange(ncv)
 
@@ -510,8 +521,162 @@ def make_extend(op: Operator, cfg: IRAMConfig):
 
         return lax.cond(st.info == 0, do_step, lambda s: s, st)
 
+    # ---- partial-reorthogonalization Lanczos (reorth='selective') -------
+    # The classical three-term recurrence r = A v_j - alpha_j v_j -
+    # beta_{j-1} v_{j-1} streams ZERO rows of V on most steps (vs 2 full
+    # passes for CGS + up to 2 more for DGKS) — on a V-bandwidth-bound
+    # solver this removes the dominant traffic term entirely.  Exactness
+    # is recovered by tracking the orthogonality defect omega_{j,i} =
+    # v_j^T v_i with Simon's coupled recurrence (Simon, Math. Comp. 42
+    # (1984); the PROPACK scheme) and performing a FULL bucketed CGS
+    # reorthogonalization of r (plus the following step, in pairs) only
+    # when max omega exceeds tau ~ sqrt(eps): the basis then stays
+    # SEMI-orthogonal, which provably preserves eps-level Ritz accuracy
+    # for Lanczos.  Applies to symmetric STANDARD problems (bmat='I',
+    # implicit restarts); the reference has no analog (dsaitr always pays
+    # the full-CGS traffic).
+    # noise floor: f32/f64 inner products accumulate ~sqrt(n)*eps rounding;
+    # narrow (bf16) storage adds a per-element representation error eps(sdt)
+    eps_eff = float(np.sqrt(float(n)) * _dt.eps(dtype) + _dt.eps(sdt))
+    tau = jnp.asarray(np.sqrt(eps_eff) / _dt.SELECTIVE_SAFETY, rdt)
+    eps1 = jnp.asarray(eps_eff, rdt)
+
+    def _omega_update(a, b, wp, wc, j, wnorm, beta_j):
+        """One row of Simon's omega recurrence (signed terms, abs at the
+        end, additive noise eps1*wnorm):  beta_j * w_{j+1,i} =
+        beta_i w_{j,i+1} + (alpha_i - alpha_j) w_{j,i}
+        + beta_{i-1} w_{j,i-1} - beta_{j-1} w_{j-1,i}."""
+        aj = a[j]
+        bjm1 = jnp.where(j > 0, b[jnp.maximum(j - 1, 0)],
+                         jnp.zeros((), rdt))
+        # self-orthogonality convention: omega_{j,j} = omega_{j-1,j-1} = 1
+        wc_full = jnp.where(col_idx == j, jnp.ones((), rdt), wc)
+        wp_full = jnp.where((col_idx == j - 1) & (j > 0),
+                            jnp.ones((), rdt), wp)
+        wc_p1 = jnp.roll(wc_full, -1)          # omega_{j,i+1}
+        wc_m1 = jnp.roll(wc_full, 1)           # omega_{j,i-1}
+        wc_m1 = wc_m1.at[0].set(0.0)
+        b_m1 = jnp.roll(b, 1).at[0].set(0.0)   # beta_{i-1}
+        t = (b * wc_p1 + (a - aj) * wc_full + b_m1 * wc_m1
+             - bjm1 * wp_full)
+        wn = (jnp.abs(t) + eps1 * wnorm) / jnp.maximum(beta_j, tiny)
+        # row j entry: local orthogonality of v_{j+1} against v_j
+        wn = jnp.where(col_idx == j,
+                       eps1 * wnorm / jnp.maximum(beta_j, tiny), wn)
+        return jnp.where(col_idx <= j, wn, jnp.zeros((), rdt))
+
+    def _step_pro(j, carry):
+        st, wp, wc, force = carry
+        rstart = st.rnorm <= 0
+        st = lax.cond(rstart & (st.info == 0),
+                      lambda s: _restart_vector(s, j), lambda s: s, st)
+        # a fresh restart vector is fully orthogonalized: clean slate
+        wp = jnp.where(rstart, jnp.full((ncv,), eps1, rdt), wp)
+        wc = jnp.where(rstart, jnp.full((ncv,), eps1, rdt), wc)
+
+        def do_step(carry):
+            st, wp, wc, force = carry
+            counts = st.counts
+            rnorm_prev = st.rnorm
+            inv = (jnp.ones((), rdt) / jnp.maximum(st.rnorm, tiny)).astype(rdt)
+            v_j = st.resid * inv
+            V = lax.dynamic_update_slice(st.V, v_j.astype(sdt)[None, :],
+                                         (j, jnp.zeros((), j.dtype)))
+            w, _bw = op.apply(v_j, v_j)
+            counts = counts.add(nopx=jnp.int32(1))
+            wnorm = bnorm(w, w).astype(rdt)
+            # three-term recurrence (reads ONE stored row: v_{j-1})
+            alpha = jnp.real(jnp.vdot(v_j, w)).astype(rdt)
+            beta_prev = jnp.where(rstart | (j == 0), jnp.zeros((), rdt),
+                                  rnorm_prev)
+            v_jm1 = lax.dynamic_index_in_dim(
+                V, jnp.maximum(j - 1, 0), axis=0, keepdims=False
+            ).astype(dtype)
+            r = (w - alpha.astype(dtype) * v_j
+                 - beta_prev.astype(dtype) * v_jm1)
+            rnorm = bnorm(r, r).astype(rdt)
+            # H: tridiagonal writes only
+            H = st.H.at[j, j].set(alpha.astype(dtype))
+            H = lax.cond(
+                j > 0,
+                lambda Hm: Hm.at[j, jnp.maximum(j - 1, 0)].set(
+                    beta_prev.astype(dtype)
+                ).at[jnp.maximum(j - 1, 0), j].set(beta_prev.astype(dtype)),
+                lambda Hm: Hm, H)
+            # omega recurrence with the new alpha_j, beta_j
+            a_vec = jnp.real(jnp.diagonal(H)).astype(rdt).at[j].set(alpha)
+            b_sub = jnp.real(jnp.diagonal(H, offset=-1)).astype(rdt)
+            b_vec = jnp.concatenate([b_sub, jnp.zeros((1,), rdt)])
+            b_vec = b_vec.at[j].set(rnorm)
+            wn = _omega_update(a_vec, b_vec, wp, wc, j, wnorm, rnorm)
+            need = (jnp.max(wn) > tau) | (force > 0)
+            counts = counts.add(
+                nrorth=jnp.where(need, 1, 0).astype(jnp.int32))
+
+            def run_reorth(args):
+                r, rnorm = args
+                out = lax.while_loop(
+                    dgks_cond_pro, dgks_body_pro,
+                    (r, rnorm, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+                r, rn, passes, nfail, status = out
+                in_span = status == 2
+                r = jnp.where(in_span, jnp.zeros_like(r), r)
+                rn = jnp.where(in_span, jnp.zeros_like(rn), rn)
+                return r, rn, nfail
+
+            def dgks_cond_pro(c):
+                return c[4] == 0
+
+            def dgks_body_pro(c):
+                r, rn_prev, passes, nfail, _ = c
+                nmask_le = col_idx <= j
+                s = jnp.where(nmask_le, _proj_upto(V, r, j),
+                              jnp.zeros((), dtype))
+                r = _update_upto(r, s, V, j)
+                rn = bnorm(r, r).astype(rdt)
+                accept = rn > eta * rn_prev
+                give_up = (~accept) & (passes + 1 >= _MAX_DGKS_PASSES)
+                status = jnp.where(accept, jnp.int32(1),
+                                   jnp.where(give_up, jnp.int32(2),
+                                             jnp.int32(0)))
+                nfail = nfail + jnp.where(accept, 0, 1).astype(jnp.int32)
+                return (r, rn, passes + 1, nfail, status)
+
+            def skip_reorth(args):
+                r, rnorm = args
+                return r, rnorm, jnp.int32(0)
+
+            r, rnorm, nfail = lax.cond(need, run_reorth, skip_reorth,
+                                       (r, rnorm))
+            counts = counts.add(nitref=nfail)
+            # post-event omega: the refreshed vector is clean against all
+            # of V; reorthogonalize the NEXT step too (pair rule: both
+            # carriers of the three-term recurrence must be clean before
+            # omega growth can restart from the eps floor) unless this
+            # event WAS the forced follow-up
+            wn = jnp.where(need, jnp.full((ncv,), eps1, rdt), wn)
+            force_out = jnp.where(need & (force == 0), jnp.int32(1),
+                                  jnp.int32(0))
+            st = st._replace(V=V, H=H, resid=r, b_resid=r, rnorm=rnorm,
+                             k=j + 1, counts=counts)
+            return st, wc, wn, force_out
+
+        return lax.cond(st.info == 0, do_step,
+                        lambda c: (c[0], c[1], c[2], c[3]),
+                        (st, wp, wc, force))
+
     def extend(st: FactorizationState, k_end) -> FactorizationState:
         """Extend from the state's current length ``st.k`` to ``k_end``."""
-        return lax.fori_loop(st.k, k_end, _step, st)
+        if not use_pro:
+            return lax.fori_loop(st.k, k_end, _step, st)
+        # omega init: the mutual defect of the carried-over columns is
+        # unknown at this boundary (restart rotations preserve but do not
+        # reveal it) — start AT tau so the first step always performs one
+        # full reorthogonalization, which also cleans the rotated residual.
+        w0 = jnp.full((ncv,), tau, rdt)
+        st, _, _, _ = lax.fori_loop(
+            st.k, k_end, _step_pro,
+            (st, w0, w0, jnp.int32(0)))
+        return st
 
     return extend

@@ -22,6 +22,25 @@ EPS23_POW = 2.0 / 3.0
 #: SRC/version.h:3-7).  sqrt(2)/2 ~ 0.7071; ARPACK hard-codes 0.717.
 DGKS_ETA = 0.717
 
+#: Safety factor for the *selective* reorthogonalization trigger
+#: (``reorth='selective'``): a single classical Gram-Schmidt pass leaves a
+#: component of size ~``eps * wnorm / rnorm`` of the new basis vector in
+#: span(V) (Giraud/Langou/Rozloznik analysis of CGS cancellation), so the
+#: basis stays *semi-orthogonal* (defect <= sqrt(eps), which preserves
+#: eps-level Ritz-value accuracy for Lanczos — Simon, Math. Comp. 1984)
+#: as long as ``rnorm >= (eps/tau) * wnorm`` with ``tau = sqrt(eps) /
+#: SELECTIVE_SAFETY``.  The refinement trigger is therefore
+#: ``rnorm <= SELECTIVE_SAFETY * sqrt(eps) * wnorm`` — the same test shape
+#: as DGKS (SRC/dsaitr.f:656) with the threshold derived from the actual
+#: orthogonality requirement instead of the worst-case 0.717.
+SELECTIVE_SAFETY = 8.0
+
+
+def selective_eta(dtype) -> float:
+    """Trigger threshold for selective reorthogonalization: refine when
+    ``rnorm <= selective_eta * wnorm``."""
+    return float(SELECTIVE_SAFETY * np.sqrt(eps(dtype)))
+
 
 def real_dtype(dtype) -> np.dtype:
     """Real counterpart of a (possibly complex) dtype."""
@@ -36,8 +55,10 @@ def eps(dtype) -> float:
     """Machine epsilon of the *real* dtype underlying ``dtype``.
 
     Mirrors LAPACK ``dlamch('EpsMach')`` as used at SRC/dsaupd.f:550.
+    (jnp.finfo also covers the extended dtypes numpy's finfo does not,
+    e.g. bfloat16 storage.)
     """
-    return float(np.finfo(real_dtype(dtype)).eps)
+    return float(jnp.finfo(real_dtype(dtype)).eps)
 
 
 def eps23(dtype) -> float:
