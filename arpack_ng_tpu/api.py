@@ -41,13 +41,15 @@ def _as_operator(A, dtype=None, hermitian=False) -> Operator:
 
 
 def _solve(op: Operator, cfg: IRAMConfig, v0, return_eigenvectors,
-           return_stats, shift_fn=None, mesh=None, strategy="auto"):
+           return_stats, shift_fn=None, mesh=None, strategy="auto",
+           select=None):
     solver = _make_solver(op, cfg, shift_fn, mesh, strategy)
     res = solver.solve(v0=v0)
     if res.info < 0:
         raise ArpackError(res.info)
-    out = extract(op, cfg, res, rvec=return_eigenvectors)
-    if res.info in (1, 2) and out.nconv < cfg.nev:
+    out = extract(op, cfg, res, rvec=return_eigenvectors,
+                  howmny="S" if select is not None else "A", select=select)
+    if res.info in (1, 2) and select is None and out.nconv < cfg.nev:
         raise ArpackNoConvergence(out, cfg)
     if return_eigenvectors:
         ret = (out.values, out.vectors)
@@ -161,6 +163,7 @@ def eigsh(
     cgs_kernel: str = "auto",
     restart: str = "implicit",
     reorth: str = "auto",
+    select=None,
 ):
     """Symmetric/Hermitian eigensolver (dsaupd/dseupd equivalent).
 
@@ -171,6 +174,12 @@ def eigsh(
     * ``sigma, mode='normal'``       -> mode 3 (shift-invert)
     * ``sigma, mode='buckling'``     -> mode 4
     * ``sigma, mode='cayley'``       -> mode 5
+
+    ``select``: length-ncv boolean mask enabling the documented (but
+    never-implemented) reference ``howmny='S'`` semantics
+    (SRC/dseupd.f:62-66): vectors/values are returned only for Ritz
+    values flagged True (positionally over the final factorization's
+    Ritz values, converged entries only).
     """
     if sigma is not None or mode != "normal" or M is not None:
         from .ops import transforms
@@ -197,7 +206,7 @@ def eigsh(
         storage_dtype=storage_dtype, cgs_kernel=cgs_kernel, restart=restart,
         reorth=reorth)
     return _solve(op, cfg, v0, return_eigenvectors, return_stats,
-                  mesh=mesh, strategy=strategy)
+                  mesh=mesh, strategy=strategy, select=select)
 
 
 def eigs(
@@ -220,8 +229,15 @@ def eigs(
     strategy: str = "auto",
     cgs_kernel: str = "auto",
     reorth: str = "auto",
+    select=None,
 ):
     """Non-symmetric / complex eigensolver (dnaupd/dneupd, znaupd/zneupd).
+
+    ``select``: length-ncv boolean mask — the documented dneupd/zneupd
+    ``howmny='S'`` semantics (SRC/dneupd.f:60-66; the reference returns
+    info=-12 'not yet implemented'): only flagged, converged Ritz values
+    get vectors, with complex-conjugate partners auto-completed in real
+    arithmetic.
 
     ``strategy='fused'`` runs the whole restart loop on device (complex
     arithmetic; real problems are complexified — the 2x-flops trade for
@@ -281,8 +297,10 @@ def eigs(
     if res.info < 0:
         raise ArpackError(res.info)
     out = extract(op, cfg, res, rvec=return_eigenvectors or return_schur,
-                  howmny="P" if return_schur else "A")
-    if res.info in (1, 2) and out.nconv < cfg.nev:
+                  howmny="P" if return_schur
+                  else ("S" if select is not None else "A"),
+                  select=select)
+    if res.info in (1, 2) and select is None and out.nconv < cfg.nev:
         raise ArpackNoConvergence(out, cfg)
     if return_eigenvectors or return_schur:
         ret = (out.values, out.vectors)

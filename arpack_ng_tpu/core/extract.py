@@ -131,7 +131,58 @@ def extract(op: Operator, cfg: IRAMConfig, result: IRAMResult,
 
     # most-wanted nconv among the converged, per `which`
     real_pairs = (not sym) and (not is_cplx)
-    if sym and cfg.which == "BE":
+    if howmny == "S":
+        # Faithful select-mask semantics (SRC/dseupd.f:62-66, dneupd.f:60-66
+        # — documented but returning info=-16/-12 'not yet implemented' in
+        # the reference): SELECT(j) refers to the j-th Ritz value of the
+        # final factorization in the aupd exit ordering (the reference's
+        # workl/D layout, here ``result.ritz``).  Vectors are computed for
+        # entries that are BOTH selected and converged; selections of
+        # unconverged Ritz values are dropped.  In real arithmetic a
+        # selected member of a complex-conjugate pair brings its partner
+        # (real storage needs both halves, dneupd.f packed-pair remark).
+        if select is None:
+            raise ValueError("howmny='S' requires a select mask")
+        select_m = np.asarray(select, bool).ravel()
+        ritz_iter = np.asarray(result.ritz)
+        if select_m.shape[0] != len(ritz_iter):
+            raise ValueError(
+                f"select must have length ncv={len(ritz_iter)} "
+                "(one flag per Ritz value of the final factorization)")
+        wanted_vals = ritz_iter[select_m]
+        # map each selected iteration-Ritz value onto the re-solved
+        # spectrum (theta_all), restricted to converged entries
+        gate = max(np.sqrt(eps23), 1e-8)
+        avail = list(idx_conv)
+        sel_list = []
+        for w in wanted_vals:
+            if not avail:
+                break
+            j = min(avail, key=lambda t: abs(theta_all[t] - w))
+            if abs(theta_all[j] - w) <= gate * max(1.0, abs(w)):
+                sel_list.append(j)
+                avail.remove(j)
+        if real_pairs:
+            for j in list(sel_list):
+                tj = theta_all[j]
+                if tj.imag == 0:
+                    continue
+                have = any(np.isclose(theta_all[p], np.conj(tj))
+                           for p in sel_list if p != j)
+                if not have:
+                    cand = [p for p in avail
+                            if np.isclose(theta_all[p], np.conj(tj))]
+                    if cand:
+                        sel_list.append(cand[0])
+                        avail.remove(cand[0])
+        sel = np.sort(np.array(sel_list, dtype=int))
+        nconv = len(sel)
+        if nconv == 0:
+            return EigenResult(values=np.zeros(0, host_dtype),
+                               vectors=None, nconv=0, info=info,
+                               bounds=np.zeros(0), n_iter=result.n_iter,
+                               stats=result.stats)
+    elif sym and cfg.which == "BE":
         # both ends: nconv//2 from the low end, nconv - nconv//2 from the
         # high end — the dsgets/dsaup2 split convention (dsgets.f:166-171;
         # verified against the library for odd counts)
@@ -143,28 +194,23 @@ def extract(op: Operator, cfg: IRAMConfig, result: IRAMResult,
     else:
         key = reduced.sort_key(cfg.which, theta_all[idx_conv], real_pairs)
         pick = np.argsort(key, kind="stable")[len(idx_conv) - nconv:]
-    sel = idx_conv[np.sort(pick)]
-    if real_pairs:
-        # dneupd may return nev+1 eigenvalues to avoid splitting a
-        # conjugate pair at the selection boundary (SRC/dneupd.f remarks;
-        # scipy allocates k+1 slots for exactly this).
-        selset = set(sel.tolist())
-        for i in sel:
-            ti = theta_all[i]
-            if ti.imag == 0:
-                continue
-            partner = np.where(
-                np.isclose(theta_all[idx_conv], np.conj(ti)))[0]
-            if len(partner) and idx_conv[partner[0]] not in selset:
-                sel = np.sort(np.append(sel, idx_conv[partner[0]]))
-                nconv += 1
-                break
-
-    if howmny == "S":
-        if select is None:
-            raise ValueError("howmny='S' requires a select mask")
-        sel = sel[np.asarray(select, bool)[: len(sel)]]
-        nconv = len(sel)
+    if howmny != "S":
+        sel = idx_conv[np.sort(pick)]
+        if real_pairs:
+            # dneupd may return nev+1 eigenvalues to avoid splitting a
+            # conjugate pair at the selection boundary (SRC/dneupd.f
+            # remarks; scipy allocates k+1 slots for exactly this).
+            selset = set(sel.tolist())
+            for i in sel:
+                ti = theta_all[i]
+                if ti.imag == 0:
+                    continue
+                partner = np.where(
+                    np.isclose(theta_all[idx_conv], np.conj(ti)))[0]
+                if len(partner) and idx_conv[partner[0]] not in selset:
+                    sel = np.sort(np.append(sel, idx_conv[partner[0]]))
+                    nconv += 1
+                    break
 
     theta = theta_all[sel]
     bounds_sel = bounds_all[sel]

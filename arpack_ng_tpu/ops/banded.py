@@ -9,10 +9,13 @@ The reference's ``dsband`` is a self-contained driver: it factors
 * the banded **matvec** runs on device as a diagonal-offset
   shift-and-multiply sweep (kl+ku+1 fused multiply-adds over length-n
   vectors — pure VPU streaming at HBM bandwidth, no gather);
-* the banded **solve** for shift-invert modes is host-factored once
-  (scipy LAPACK ``gbtrf``-equivalent) and applied on device as an
-  explicit-inverse GEMM (MXU-optimal), or matrix-free via device
-  CG/BiCGSTAB for very large n;
+* the banded **solve** for shift-invert/generalized modes is host-factored
+  once in float64 by **block cyclic reduction** (:mod:`.bandsolve`) and
+  applied on device as log-depth batched b x b contractions — O(n*b)
+  memory, O(n*b^2) work, matching the reference's ``dgbtrf``/``dgbtrs``
+  scaling (dsband.f:399-463) without its O(n)-deep substitution chain.
+  Small problems (n <= 1024 by default) instead use a host dense inverse
+  applied as a single MXU GEMM, which is faster at that scale;
 * :func:`eigsh_banded` / :func:`eigs_banded` reproduce the one-call
   "give me eigenvalues of this concrete banded matrix" API including all
   spectral-transform modes.
@@ -31,6 +34,11 @@ import scipy.sparse as sp
 from ..config import pad_dim
 from .operator import Operator
 from . import transforms
+from .bandsolve import BandedFactor, shifted_band
+
+#: below this dimension a host dense inverse (one GEMM per apply) beats the
+#: log-depth cyclic-reduction sweeps; above it CR is the only O(n*b) path.
+DENSE_CUTOFF = 1024
 
 
 def _diagonals_from_ab(ab: np.ndarray, kl: int, ku: int, n: int):
@@ -106,52 +114,99 @@ def banded_operator(ab, kl: int, ku: int, *, dtype=None,
                     a_apply=mv, n_pad=n_pad, hermitian=hermitian)
 
 
-def _banded_spectral_op(ab, mb, kl, ku, sigma, mode_num, sym, dtype):
-    """Build the OP/B pair for banded modes 2-5 (dsband types 2-6)."""
-    ab = np.asarray(ab)
-    if dtype is not None:
-        ab = ab.astype(dtype)
+def _banded_spectral_op(ab, mb, kl, ku, sigma, mode_num, sym, dtype,
+                        solver: str = "auto", part: str = "real",
+                        refine: int = 1):
+    """Build the OP/B pair for banded modes 2-5 (dsband types 2-6).
+
+    ``solver``: 'auto' (dense inverse below :data:`DENSE_CUTOFF`, cyclic
+    reduction above), 'dense', or 'cr'.  ``refine`` = iterative-refinement
+    steps per CR solve (stability margin for indefinite shifts).
+    """
+    ab64 = np.asarray(ab)                       # native precision for factor
+    ab = ab64 if dtype is None else ab64.astype(dtype)
     n = ab.shape[1]
     n_pad = pad_dim(n)
-    a_sp = _ab_to_sparse(ab, kl, ku, n)
     a_mv = banded_matvec_fn(ab, kl, ku, n, n_pad)
     if mb is not None:
-        mb = np.asarray(mb).astype(ab.dtype)
-        m_sp = _ab_to_sparse(mb, kl, ku, n)
+        mb64 = np.asarray(mb)
+        mb = mb64.astype(ab.dtype)
         m_mv = banded_matvec_fn(mb, kl, ku, n, n_pad)
     else:
-        m_sp = None
+        mb64 = None
         m_mv = None
 
     if sigma is None and mb is None:
         return banded_operator(ab, kl, ku, hermitian=sym)
-    if sigma is None:
-        # mode 2: OP = inv(M) A — factor M (banded) on host
-        builder = transforms.build_sym_operator if sym \
-            else transforms.build_nonsym_operator
-        return builder(a_sp, M=m_sp, sigma=None, dtype=ab.dtype)
 
-    # shift-invert family: factor (A - sigma M) once on host (the dgbtrf
-    # step of dsband.f:463), apply on device as explicit-inverse GEMM
-    builder = transforms.build_sym_operator if sym \
-        else transforms.build_nonsym_operator
-    mode_name = {3: "normal", 4: "buckling", 5: "cayley"}[mode_num]
-    if sym:
-        return transforms.build_sym_operator(
-            a_sp, M=m_sp, sigma=sigma, mode=mode_name, dtype=ab.dtype)
-    return transforms.build_nonsym_operator(
-        a_sp, M=m_sp, sigma=sigma, dtype=ab.dtype)
+    use_dense = solver == "dense" or (solver == "auto" and n <= DENSE_CUTOFF)
+    if use_dense:
+        a_sp = _ab_to_sparse(ab, kl, ku, n)
+        m_sp = _ab_to_sparse(mb, kl, ku, n) if mb is not None else None
+        if sigma is None:
+            builder = transforms.build_sym_operator if sym \
+                else transforms.build_nonsym_operator
+            return builder(a_sp, M=m_sp, sigma=None, dtype=ab.dtype)
+        mode_name = {3: "normal", 4: "buckling", 5: "cayley"}[mode_num]
+        if sym:
+            return transforms.build_sym_operator(
+                a_sp, M=m_sp, sigma=sigma, mode=mode_name, dtype=ab.dtype)
+        return transforms.build_nonsym_operator(
+            a_sp, M=m_sp, sigma=sigma, dtype=ab.dtype, part=part)
+
+    # ---- scalable cyclic-reduction path (O(n*b) memory) ------------------
+    if sigma is None:
+        # mode 2: OP = inv(M) A, B = M — factor the banded M itself
+        mfac = BandedFactor(mb64, kl, ku, dtype=ab.dtype, refine=refine, n=n)
+
+        def apply(v, bv, _a=a_mv, _mf=mfac):
+            av = _a(v)
+            return _mf.solve(av), av        # bw = A v (mode-2 shortcut)
+
+        return Operator(n=n, dtype=ab.dtype, apply=apply, bmat="G", mode=2,
+                        b_apply=m_mv, a_apply=a_mv, m_apply=m_mv,
+                        n_pad=n_pad, hermitian=sym)
+
+    # shift-invert family: factor (A - sigma M) once on host in float64
+    # (the dgbtrf step of dsband.f:463); device application = BCR sweeps
+    sb, skl, sku = shifted_band(ab64, kl, ku, mb64, kl, ku, sigma, n)
+    fac = BandedFactor(sb, skl, sku, dtype=ab.dtype, refine=refine, n=n)
+    if mb is None and mode_num == 5:
+        m_mv = lambda v: v              # Cayley with M = I
+    if fac.realified:
+        # complex sigma on a real problem: dnaupd modes 3/4 take the
+        # real/imaginary part of inv(A - sigma M) M v (SRC/dnaupd.f:20-36)
+        pick = 0 if part == "real" else 1
+        solve = lambda b: fac.solve_parts(b)[pick]
+    else:
+        solve = fac.solve
+    op = transforms.shift_invert_operator(
+        n, ab.dtype, solve, sigma=sigma,
+        mode=mode_num if sym else 3, n_pad=n_pad, hermitian=sym,
+        a_apply=a_mv, m_apply=m_mv)
+    if (not sym) and fac.realified and part != "real":
+        op = Operator(n=n, dtype=ab.dtype, apply=op.apply, bmat=op.bmat,
+                      mode=4, b_apply=op.b_apply, a_apply=op.a_apply,
+                      m_apply=op.m_apply, n_pad=n_pad, sigma=sigma,
+                      hermitian=False)
+    return op
 
 
 def eigsh_banded(ab, kl: int, ku: int, k: int = 6, *, mb=None,
                  sigma: Optional[float] = None, mode: str = "normal",
                  which: str = "LM", ncv: Optional[int] = None,
                  tol: float = 0.0, maxiter: int = 500, dtype=None,
-                 return_eigenvectors: bool = True, seed: int = 0):
-    """dsband/ssband equivalent: symmetric banded eigensolver, modes 1-5."""
+                 return_eigenvectors: bool = True, seed: int = 0,
+                 solver: str = "auto", refine: int = 1):
+    """dsband/ssband equivalent: symmetric banded eigensolver, modes 1-5.
+
+    ``solver='auto'`` picks a dense-inverse GEMM below
+    :data:`DENSE_CUTOFF` and O(n*b) block cyclic reduction above — the
+    scalable analog of dsband's ``dgbtrf``/``dgbtrs``."""
     from .. import api
     mode_num = {"normal": 3, "buckling": 4, "cayley": 5}[mode]
-    op = _banded_spectral_op(ab, mb, kl, ku, sigma, mode_num, True, dtype)
+    op = _banded_spectral_op(ab, mb, kl, ku, sigma, mode_num, True, dtype,
+                             solver=solver, refine=refine)
     return api.eigsh(op, k=k, which=which, ncv=ncv, tol=tol,
                      maxiter=maxiter, seed=seed,
                      return_eigenvectors=return_eigenvectors)
@@ -161,10 +216,17 @@ def eigs_banded(ab, kl: int, ku: int, k: int = 6, *, mb=None,
                 sigma: Optional[complex] = None, which: str = "LM",
                 ncv: Optional[int] = None, tol: float = 0.0,
                 maxiter: int = 500, dtype=None,
-                return_eigenvectors: bool = True, seed: int = 0):
-    """dnband/znband equivalent: non-symmetric/complex banded solver."""
+                return_eigenvectors: bool = True, seed: int = 0,
+                solver: str = "auto", part: str = "real",
+                refine: int = 1):
+    """dnband/znband equivalent: non-symmetric/complex banded solver.
+
+    Complex ``sigma`` on a real problem routes through the realified
+    cyclic-reduction solve; ``part`` selects dnaupd mode 3 ('real') vs
+    mode 4 ('imag') — the dndrv5/dndrv6 pair."""
     from .. import api
-    op = _banded_spectral_op(ab, mb, kl, ku, sigma, 3, False, dtype)
+    op = _banded_spectral_op(ab, mb, kl, ku, sigma, 3, False, dtype,
+                             solver=solver, part=part, refine=refine)
     return api.eigs(op, k=k, which=which, ncv=ncv, tol=tol,
                     maxiter=maxiter, seed=seed,
                     return_eigenvectors=return_eigenvectors)
