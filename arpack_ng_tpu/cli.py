@@ -49,9 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="eigenvalues only (skip vectors)")
     p.add_argument("--slv", default="LU",
                    help="mode solver: LU (direct dense) | CG | BiCG")
-    p.add_argument("--slvTol", type=float, default=1e-10,
-                   help="iterative mode-solver tolerance")
-    p.add_argument("--slvMaxIt", type=int, default=2000)
+    p.add_argument("--slvTol", "--slvItrTol", dest="slvTol", type=float,
+                   default=1e-10, help="iterative mode-solver tolerance")
+    p.add_argument("--slvMaxIt", "--slvItrMaxIt", dest="slvMaxIt",
+                   type=int, default=2000)
+    p.add_argument("--slvItrPC", default="Diag",
+                   help="iterative mode-solver preconditioner: Diag | ILU "
+                        "| None (arpackmm --slvItrPC)")
     p.add_argument("--dense", action="store_true",
                    help="use dense operator storage")
     p.add_argument("--simplePrec", action="store_true",
@@ -112,18 +116,76 @@ def main(argv=None) -> int:
         sigma = 0.0
 
     # ---- build the operator ----
-    if sigma is not None and args.slv in ("CG", "BiCG"):
-        from .ops.sparse import from_scipy
-        base = from_scipy(a_sp, hermitian=sym)
-        if b_sp is not None:
-            raise SystemExit("iterative generalized solves: use --slv LU")
-        shifted = lambda v: base.a_apply(v) - dtype(sigma) * v
-        solve = slv_mod.make_iterative_solve(
-            shifted, symmetric=(args.slv == "CG"), tol=args.slvTol,
-            maxiter=args.slvMaxIt)
-        op = transforms.shift_invert_operator(
-            base.n, dtype, solve, sigma=sigma, mode=3, n_pad=base.n_pad,
-            hermitian=sym, a_apply=base.a_apply)
+    iterative = args.slv in ("CG", "BiCG")
+    if iterative and (sigma is not None or b_sp is not None):
+        # Iterative mode solvers, standard AND generalized (arpackmm
+        # supports gen+iterative through its Eigen CG/BiCG solvers,
+        # arpackmm.cpp:445-476).  All matvecs share one unpermuted device
+        # format so A, M and the shifted system act in the same
+        # coordinates.
+        from .config import pad_dim
+        from .ops import sparse as sparse_mod
+        from .ops.operator import Operator
+
+        if np.iscomplexobj(np.asarray(sigma)) and \
+                np.asarray(sigma).imag != 0 and \
+                not np.issubdtype(np.dtype(dtype), np.complexfloating):
+            raise SystemExit(
+                "complex shift on a real problem with an iterative mode "
+                "solver is not supported; use --slv LU (realified direct "
+                "solve) or --cpxPb")
+        n = a_sp.shape[0]
+        n_pad = pad_dim(n)
+
+        def _mv(mat):
+            fmt = ("dia" if sparse_mod.structural_diagonals(mat)
+                   <= sparse_mod.DIA_MAX_DIAGONALS else "ell")
+            return sparse_mod.from_scipy(mat, hermitian=False, format=fmt,
+                                         n_pad=n_pad).a_apply
+
+        a_mv = _mv(a_sp)
+        m_mv = _mv(b_sp) if b_sp is not None else None
+
+        def _precond_for(mat):
+            pc = args.slvItrPC.lower()
+            if pc == "ilu":
+                return slv_mod.ilu0_preconditioner(
+                    mat, dtype=dtype, n_pad=n_pad,
+                    symmetric=(args.slv == "CG"))
+            if pc == "diag":
+                d = np.ones(n_pad, dtype)
+                d[:n] = np.asarray(mat.diagonal()).astype(dtype)
+                import jax.numpy as jnp
+                return slv_mod.jacobi_preconditioner(jnp.asarray(d))
+            return None
+
+        if sigma is not None:
+            import scipy.sparse as _sp
+            sig = np.dtype(dtype).type(sigma.real if not np.issubdtype(
+                np.dtype(dtype), np.complexfloating) else sigma)
+            shifted_mat = (a_sp - sig * b_sp) if b_sp is not None \
+                else (a_sp - sig * _sp.eye(n, dtype=dtype, format="csr"))
+            shifted = (lambda v: a_mv(v) - sig * m_mv(v)) if b_sp is not None \
+                else (lambda v: a_mv(v) - sig * v)
+            solve = slv_mod.make_iterative_solve(
+                shifted, symmetric=(args.slv == "CG"), tol=args.slvTol,
+                maxiter=args.slvMaxIt, precond=_precond_for(shifted_mat))
+            op = transforms.shift_invert_operator(
+                n, dtype, solve, sigma=sigma, mode=3, n_pad=n_pad,
+                hermitian=sym, a_apply=a_mv, m_apply=m_mv)
+        else:
+            # mode 2: OP = inv(M) A via iterative M-solves (M SPD -> CG)
+            solve_m = slv_mod.make_iterative_solve(
+                m_mv, symmetric=(args.slv == "CG"), tol=args.slvTol,
+                maxiter=args.slvMaxIt, precond=_precond_for(b_sp))
+
+            def apply(v, bv, _a=a_mv, _s=solve_m):
+                av = _a(v)
+                return _s(av), av        # bw = A v (mode-2 shortcut)
+
+            op = Operator(n=n, dtype=np.dtype(dtype), apply=apply,
+                          bmat="G", mode=2, b_apply=m_mv, a_apply=a_mv,
+                          m_apply=m_mv, n_pad=n_pad, hermitian=sym)
     elif sigma is not None or b_sp is not None:
         build = transforms.build_sym_operator if sym \
             else transforms.build_nonsym_operator

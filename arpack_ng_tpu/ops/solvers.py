@@ -13,10 +13,22 @@ jitted cycle with zero host involvement):
 * :func:`cg`        — conjugate gradients (SPD shifted systems)
 * :func:`bicgstab`  — BiCGSTAB for non-symmetric systems (the reference
                       pairs BiCG with nonsym problems)
-* diagonal (Jacobi) preconditioning, the reference's ``Diag`` option.
+* diagonal (Jacobi) preconditioning, the reference's ``Diag`` option
+  (:func:`jacobi_preconditioner`);
+* ILU(0)-class preconditioning, the reference's ``ILU`` option
+  (:func:`ilu0_preconditioner`): the factorization runs once on the host
+  (SuperLU incomplete LU, natural ordering, zero fill) and the two
+  triangular solves are replaced on device by **fixed-sweep truncated
+  Neumann series** over the DIA-form strict triangles — pure streaming
+  multiplies, no gather, no sequential substitution, jit-traceable inside
+  the fused eigensolver loop.  K sweeps reproduce the exact triangular
+  solve to K-th order in the strictly-triangular part; as a
+  *preconditioner* (not a solve) this approximation only shifts the Krylov
+  iteration count, never correctness.
 
 Direct dense solves are in ops/transforms.py (host-factored explicit
-inverse applied as a device GEMM); banded direct solves in ops/banded.py.
+inverse applied as a device GEMM); banded direct solves in ops/banded.py
+(block cyclic reduction).
 """
 from __future__ import annotations
 
@@ -108,6 +120,146 @@ def jacobi_preconditioner(diag: jax.Array) -> Callable:
 
     def precond(r):
         return inv * r
+
+    return precond
+
+
+
+def _padded_diag(a_sp, n_pad):
+    import numpy as np
+    d = np.asarray(a_sp.diagonal())
+    if n_pad and n_pad > d.shape[0]:
+        d = np.concatenate([d, np.ones(n_pad - d.shape[0], d.dtype)])
+    return jnp.asarray(d)
+
+def ilu0_preconditioner(a_sp, *, sweeps: int = 3, dtype=None,
+                        n_pad: int = 0, symmetric: bool = False) -> Callable:
+    """ILU(0) preconditioner (arpackmm's ``ILU`` mode-solver option,
+    arpackmm.cpp:445-476) with fully device-resident application.
+
+    Host side (once): SuperLU incomplete LU with zero fill, natural column
+    ordering and no row pivoting — the classic ILU(0) pattern.  Device
+    side (per application): the two triangular solves are replaced by
+    ``sweeps`` steps of the truncated Neumann series
+
+        inv(L) r       ~= sum_k (-Ls)^k r          (L unit lower)
+        inv(U) y       ~= sum_k (inv(D)(-Us))^k inv(D) y
+
+    where ``Ls``/``Us`` are the strict triangles streamed in DIA form —
+    no gathers (catastrophic on TPU, docs/PERF.md) and no O(n)-deep
+    substitution chain.  The result is a fixed linear operator, exactly
+    what Krylov preconditioning requires.
+
+    ``symmetric=True`` builds the IC(0)-class SYMMETRIC form required by
+    CG (a preconditioner for CG must be SPD; the plain two-triangle
+    truncation is not):  ``M^-1 = p(L)^T D^-1 p(L)`` with ``p`` the same
+    truncated Neumann polynomial — symmetric positive semidefinite by
+    construction.  Measured on the 2-D Laplacian: the truncated
+    application matches the EXACT triangular-solve ILU(0) one-application
+    quality at sweeps=3-4 (0.444 vs 0.443 residual reduction), and
+    BiCGSTAB reaches ~2.7x smaller residual per 20 iterations than
+    Diag/none (docs/PERF.md).
+
+    Falls back to Jacobi (with a warning) if SuperLU had to permute
+    (structurally zero diagonal), since a device-side permutation would
+    reintroduce gathers.
+    """
+    import warnings
+
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from .sparse import _to_dia, dia_matvec_fn
+
+    n = a_sp.shape[0]
+    n_pad = n_pad or n
+    A = sp.csc_matrix(a_sp)
+    if dtype is not None:
+        A = A.astype(dtype)
+    if np.issubdtype(A.dtype, np.floating) and A.dtype != np.float64:
+        A = A.astype(np.float64)          # SuperLU wants d/z
+    try:
+        ilu = spla.spilu(A, drop_tol=0.0, fill_factor=1.0,
+                         permc_spec="NATURAL", diag_pivot_thresh=0.0)
+    except RuntimeError as e:             # singular ILU pivot
+        warnings.warn(f"ILU(0) factorization failed ({e}); "
+                      "falling back to Jacobi", stacklevel=2)
+        return jacobi_preconditioner(_padded_diag(a_sp, n_pad))
+    idperm = np.arange(n)
+    if not (np.array_equal(ilu.perm_r, idperm)
+            and np.array_equal(ilu.perm_c, idperm)):
+        warnings.warn("ILU(0) required pivoting (zero structural "
+                      "diagonal); falling back to Jacobi to stay "
+                      "gather-free on device", stacklevel=2)
+        return jacobi_preconditioner(_padded_diag(a_sp, n_pad))
+    # Quality probe: ILU(0) of an INDEFINITE matrix can amplify rather
+    # than precondition (measured: it sends an interior-shift BiCGSTAB
+    # solve to garbage while Diag/None converge to 1e-12).  Reject a
+    # factor whose exact application does not contract the residual.
+    rng = np.random.default_rng(11)
+    rp = rng.standard_normal(n)
+    if np.iscomplexobj(A):
+        rp = rp + 1j * rng.standard_normal(n)
+    with np.errstate(all="ignore"):
+        zp = ilu.solve(rp.astype(A.dtype))
+        q = np.linalg.norm(rp - A @ zp) / np.linalg.norm(rp)
+    if not np.isfinite(q) or q >= 1.0:
+        warnings.warn(
+            f"ILU(0) quality probe {q:.2f} >= 1 (indefinite/unstable "
+            "incomplete factorization amplifies); falling back to Jacobi",
+            stacklevel=2)
+        return jacobi_preconditioner(_padded_diag(a_sp, n_pad))
+
+    out_dtype = np.dtype(dtype) if dtype is not None else a_sp.dtype
+    L = ilu.L.tocsr()
+    U = ilu.U.tocsr()
+    ls = sp.tril(L, -1).tocsr()
+    d_u = np.asarray(U.diagonal())
+    d_u = np.where(d_u == 0, 1.0, d_u)
+    loff, ldiags = _to_dia(ls)
+    lmv = dia_matvec_fn(loff, [d.astype(out_dtype) for d in ldiags],
+                        n, n)
+    dinv = jnp.asarray((1.0 / d_u).astype(out_dtype))
+
+    if symmetric:
+        # IC(0)-class: M^-1 = p(L)^T D^-1 p(L), SPD for CG
+        ltoff, ltdiags = _to_dia(ls.T.tocsr())
+        ltmv = dia_matvec_fn(ltoff, [d.astype(out_dtype) for d in ltdiags],
+                             n, n)
+
+        def precond(r):
+            rn = r[:n]
+            z = rn
+            for _ in range(sweeps):       # z ~= inv(L) r
+                z = rn - lmv(z)
+            v = dinv * z
+            y = v
+            for _ in range(sweeps):       # y ~= inv(L^T) v
+                y = v - ltmv(y)
+            if r.shape[0] == n:
+                return y
+            return jnp.zeros(r.shape, y.dtype).at[:n].set(y)
+
+        return precond
+
+    us = sp.triu(U, 1).tocsr()
+    uoff, udiags = _to_dia(us)
+    umv = dia_matvec_fn(uoff, [d.astype(out_dtype) for d in udiags],
+                        n, n)
+
+    def precond(r):
+        rn = r[:n]
+        z = rn
+        for _ in range(sweeps):           # L z = r, unit diagonal
+            z = rn - lmv(z)
+        y0 = dinv * z
+        y = y0
+        for _ in range(sweeps):           # U y = z
+            y = y0 - dinv * umv(y)
+        if r.shape[0] == n:
+            return y
+        return jnp.zeros(r.shape, y.dtype).at[:n].set(y)
 
     return precond
 
