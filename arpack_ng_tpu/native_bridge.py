@@ -1,0 +1,241 @@
+"""Protocol layer between the C ABI (native/src/capi.cc) and the solver.
+
+The reference exposes its Fortran core to C through ISO_C_BINDING shims
+covering all four dtypes (ICB/arpack.h:10-21), plus stat/debug control
+(ICB/stat_c.h:12-16, debug_c.h:6-9).  Here the C shared library embeds
+CPython and calls THIS module with raw memoryviews + a JSON option
+string; everything dtype- and mode-specific lives in Python where it is
+unit-testable (tests/test_capi.py drives this module directly, and the
+compiled client test native/tests/test_capi.c drives it through the C
+symbols).
+
+Entry points (stable protocol, keep signatures in sync with capi.cc):
+
+* :func:`solve` — full eigensolve on a concrete dense/CSR matrix, any of
+  dtypes s/d/c/z, sym or nonsym, standard/generalized/shift-invert,
+  Ritz or Schur vectors, optional checkpoint dump/restart.
+* :func:`get_stats` — counters + per-phase timers of the LAST solve
+  (the stat_c() analog; 31 values in stat_c.h order).
+* :func:`set_debug` — per-module trace levels (the debug_c() analog).
+* :func:`stats_reset` — the sstats_c/sstatn_c/cstatn_c analog.
+"""
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+
+_DTYPES = {"s": np.float32, "d": np.float64,
+           "c": np.complex64, "z": np.complex128}
+
+#: stats of the most recent :func:`solve` (the /timing/ common analog —
+#: module-global exactly like the reference's common block).
+_last_stats = None
+_last_sym = True
+_last_complex = False
+
+
+def _np_from_buffer(buf, dtype, count=None):
+    a = np.frombuffer(buf, dtype=dtype)
+    return a if count is None else a[:count]
+
+
+def solve(options: str, buf_a=None, buf_p=None, buf_i=None, buf_v=None,
+          buf_m=None, buf_mp=None, buf_mi=None, buf_mv=None):
+    """Run one eigensolve.  Returns a dict of plain-Python/bytes values.
+
+    ``options`` (JSON): dtype ('s'|'d'|'c'|'z'), symmetric (bool), n,
+    k, which, ncv (0=auto), maxiter (0=auto), tol, sigma_re, sigma_im,
+    has_sigma, generalized (bool), schur (bool), rvec (bool),
+    dump (path|''), restart (path|''), seed, dense (bool).
+
+    Dense input: ``buf_a`` (and ``buf_m``) row-major n*n scalars of the
+    dtype.  CSR input: ``buf_p`` (int64 indptr, n+1), ``buf_i`` (int64
+    indices), ``buf_v`` (scalars); ``buf_mp/mi/mv`` likewise for M.
+    Output vals/vecs are bytes in the problem's real scalar type, with
+    separate real/imag blocks (the dneupd packed-pair convention
+    flattened: C sees two parallel arrays).
+    """
+    global _last_stats, _last_sym, _last_complex
+    import os
+
+    import jax
+
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat:
+        # honor the env even though an embedding host (or this image's
+        # sitecustomize) may have registered a backend already
+        try:
+            jax.config.update("jax_platforms", plat.split(",")[0])
+        except Exception:
+            pass
+
+    opt = json.loads(options)
+    dt = np.dtype(_DTYPES[opt["dtype"]])
+    rdt = np.float32 if dt.itemsize == 4 or dt == np.complex64 else \
+        np.float64
+    if dt in (np.float32, np.complex64):
+        rdt = np.float32
+    else:
+        rdt = np.float64
+    n = int(opt["n"])
+    sym = bool(opt.get("symmetric", True))
+    is_cplx = np.issubdtype(dt, np.complexfloating)
+    if sym and is_cplx:
+        sym = True                        # Hermitian path handles complex
+
+    if rdt == np.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    # ---- matrix ingestion ----
+    import scipy.sparse as sp
+
+    if buf_a is not None:
+        a = _np_from_buffer(buf_a, dt, n * n).reshape(n, n).copy()
+        a_in = a
+    else:
+        indptr = _np_from_buffer(buf_p, np.int64, n + 1)
+        indices = _np_from_buffer(buf_i, np.int64)
+        data = _np_from_buffer(buf_v, dt)
+        a_in = sp.csr_matrix(
+            (data.copy(), indices.astype(np.int64).copy(),
+             indptr.astype(np.int64).copy()), shape=(n, n))
+    m_in = None
+    if buf_m is not None:
+        m_in = _np_from_buffer(buf_m, dt, n * n).reshape(n, n).copy()
+    elif buf_mp is not None:
+        mp = _np_from_buffer(buf_mp, np.int64, n + 1)
+        mi = _np_from_buffer(buf_mi, np.int64)
+        mv = _np_from_buffer(buf_mv, dt)
+        m_in = sp.csr_matrix((mv.copy(), mi.copy(), mp.copy()),
+                             shape=(n, n))
+
+    sigma = None
+    if opt.get("has_sigma"):
+        sigma = complex(opt.get("sigma_re", 0.0), opt.get("sigma_im", 0.0))
+        if sym and not is_cplx:
+            sigma = sigma.real
+
+    from . import api
+    from .config import IRAMConfig, default_ncv
+    from .core.extract import extract
+    from .core.iram import IRAMSolver
+    from .io import checkpoint as ckpt
+    from .ops import transforms
+    from .ops.operator import from_dense
+    from .ops.sparse import from_scipy
+
+    k = int(opt["k"])
+    which = opt.get("which", "LM")
+    tol = float(opt.get("tol", 0.0))
+    ncv = int(opt.get("ncv", 0)) or default_ncv(n, k, sym)
+    maxiter = int(opt.get("maxiter", 0)) or max(10 * n, 300)
+
+    if sigma is not None or m_in is not None:
+        build = transforms.build_sym_operator if sym \
+            else transforms.build_nonsym_operator
+        op = build(a_in, M=m_in, sigma=sigma, dtype=dt)
+    elif sp.issparse(a_in):
+        op = from_scipy(a_in, hermitian=sym)
+    else:
+        op = from_dense(a_in, hermitian=sym)
+
+    try:
+        cfg = IRAMConfig(n=op.n, nev=k, ncv=min(ncv, op.n), which=which,
+                         bmat=op.bmat, mode=op.mode, tol=tol,
+                         max_iter=maxiter, symmetric=sym,
+                         dtype=np.dtype(op.dtype), n_pad=op.n_pad,
+                         seed=int(opt.get("seed", 0)))
+    except ValueError as e:
+        # config validation carries the reference info code in its message
+        # ("reference info = -3" etc.); surface it as the C return code
+        import re
+        m = re.search(r"info\s*=\s*(-\d+)", str(e))
+        return {"info": int(m.group(1)) if m else -9999, "nconv": 0}
+    solver = IRAMSolver(op, cfg)
+
+    state = None
+    v0 = None
+    if opt.get("restart"):
+        state, meta = ckpt.load_state(opt["restart"], cfg=None)
+        if state is None:
+            v0 = meta["resid"]
+    res = solver.solve(v0=v0, state=state)
+    if opt.get("dump"):
+        ckpt.save_state(opt["dump"], res.state, cfg)
+
+    _last_stats = res.stats
+    _last_sym = sym and not is_cplx
+    _last_complex = is_cplx
+    if res.info < 0:
+        return {"info": int(res.info), "nconv": 0}
+
+    rvec = bool(opt.get("rvec", True))
+    out = extract(op, cfg, res, rvec=rvec,
+                  howmny="P" if opt.get("schur") else "A")
+    vals = np.atleast_1d(np.asarray(out.values))
+    nconv = int(out.nconv)
+    ret = {
+        "info": int(out.info), "nconv": nconv,
+        "vals_re": np.ascontiguousarray(vals.real, rdt).tobytes(),
+        "vals_im": np.ascontiguousarray(np.imag(vals), rdt).tobytes(),
+    }
+    if rvec and out.vectors is not None:
+        # column-major per-eigenvector blocks (C reads vector j at
+        # offset j*n), matching the reference's z(ldz, nev) layout
+        z = np.asarray(out.vectors)        # (n, nconv)
+        ret["vecs_re"] = np.ascontiguousarray(z.real.T, rdt).tobytes()
+        ret["vecs_im"] = np.ascontiguousarray(np.imag(z).T, rdt).tobytes()
+    return ret
+
+
+def get_stats():
+    """stat_c() analog: 5 counters + 26 timer slots, stat_c.h:12-16 order.
+
+    The framework's dtype-parametric timers fill the slot family matching
+    the last solve (s*/n*/c*); unused families stay zero, exactly like
+    the reference where only the family you ran is nonzero.
+    """
+    s = _last_stats
+    if s is None:
+        return [0] * 5 + [0.0] * 26
+    t = s.timers
+    fam = [t.taupd, getattr(t, "taup2", 0.0), t.taitr, t.teigt, t.tgets,
+           t.tapps, t.tconv]
+    zeros = [0.0] * 7
+    if _last_complex:
+        fams = zeros + zeros + fam
+    elif _last_sym:
+        fams = fam + zeros + zeros
+    else:
+        fams = zeros + fam + zeros
+    mv = [getattr(t, "tmvopx", 0.0), getattr(t, "tmvbx", 0.0),
+          t.tgetv0, t.titref, getattr(t, "trvec", 0.0)]
+    return ([int(s.nopx), int(s.nbx), int(s.nrorth), int(s.nitref),
+             int(s.nrstrt)] + [float(x) for x in fams + mv])
+
+
+def stats_reset():
+    """sstats_c/sstatn_c/cstatn_c analog."""
+    global _last_stats
+    _last_stats = None
+
+
+def set_debug(logfil: int, ndigit: int, mgetv0: int, maupd: int,
+              maup2: int, maitr: int, meigt: int, mapps: int,
+              mgets: int, meupd: int):
+    """debug_c() analog.
+
+    The reference takes one level per routine per dtype family
+    (debug_c.h:6-9); the dtype-parametric engine collapses the families,
+    so each level applies to every dtype (pass the max of the family
+    levels when porting a debug_c call)."""
+    from .utils.debug import debug
+    debug.ndigit = int(ndigit) or debug.ndigit
+    for name, val in [("mgetv0", mgetv0), ("maupd", maupd),
+                      ("maup2", maup2), ("maitr", maitr),
+                      ("meigt", meigt), ("mapps", mapps),
+                      ("mgets", mgets), ("meupd", meupd)]:
+        setattr(debug, name, int(val))
+    return 0

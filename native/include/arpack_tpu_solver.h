@@ -1,17 +1,29 @@
-/* arpack_tpu_solver.h — full-solver C ABI (the ICB dsaupd_c/dseupd_c
- * analog): lets C/C++/Fortran hosts run the TPU eigensolver on concrete
- * matrices.  Implementation embeds CPython (native/src/capi.cc); link
- * against libarpack_tpu_capi.so and a matching libpython.
+/* arpack_tpu_solver.h — full-solver C ABI (the ICB Xsaupd_c/Xseupd_c
+ * analog, ICB/arpack.h:10-21): lets C/C++/Fortran hosts run the TPU
+ * eigensolver on concrete matrices, in all four scalar types s/d/c/z,
+ * with stat/debug control (stat_c.h:12-16, debug_c.h:6-9 analogs) and
+ * checkpoint dump/restart (arpackSolver.hpp:153-154 analog).
+ * Implementation embeds CPython (native/src/capi.cc); link against
+ * libarpack_tpu_capi.so and a matching libpython.
  *
  * Reverse-communication granularity is deliberately not exposed: a host
  * callback per matvec would stall the TPU pipeline; pass the matrix (or
  * use the Python API with a traced operator).
  *
- * All matrices row-major; CSR uses 64-bit indptr/indices.  `which` is the
- * two-character reference selector.  `has_sigma` != 0 enables shift-invert
- * about `sigma`.  Returns 0 on success or a reference-style negative info
- * code; `nconv` receives the converged count and may exceed nev by one for
- * non-symmetric conjugate pairs (dneupd semantics).
+ * Conventions:
+ *  - dense matrices row-major, n*n scalars; CSR uses 64-bit
+ *    indptr/indices; complex buffers are interleaved (re,im) pairs —
+ *    bit-compatible with C99 float/double _Complex and C++ std::complex.
+ *  - `which` is the two-character reference selector (LM/SM/LA/SA/BE/
+ *    LR/SR/LI/SI).
+ *  - `has_sigma` != 0 enables shift-invert about sigma.
+ *  - `schur` != 0 returns Schur basis vectors instead of Ritz vectors
+ *    (dneupd howmny='P'; non-symmetric entry points only).
+ *  - eigenvectors: vector j occupies elements [j*n, (j+1)*n).
+ *  - returns 0 on success or a reference-style info code (<0 error,
+ *    1 = maxiter); `nconv` receives the converged count and may exceed
+ *    nev by one for non-symmetric conjugate pairs (dneupd semantics).
+ *  - generalized problems: pass the dense mass matrix `m` (NULL = I).
  */
 #ifndef ARPACK_TPU_SOLVER_H
 #define ARPACK_TPU_SOLVER_H
@@ -22,24 +34,115 @@
 extern "C" {
 #endif
 
+/* ---- symmetric real ---------------------------------------------------- */
+
 atpu_int atpu_eigsh_dense_d(atpu_int n, const double *a, const double *m,
                             atpu_int nev, const char *which, double sigma,
                             int has_sigma, double tol, atpu_int ncv,
                             atpu_int max_iter, double *evals,
                             double *evecs, atpu_int *nconv);
 
-atpu_int atpu_eigs_dense_d(atpu_int n, const double *a, const double *m,
-                           atpu_int nev, const char *which, double sigma,
-                           int has_sigma, double tol, atpu_int ncv,
-                           atpu_int max_iter, double *evals_re,
-                           double *evals_im, double *evecs_re,
-                           double *evecs_im, atpu_int *nconv);
+atpu_int atpu_eigsh_dense_s(atpu_int n, const float *a, const float *m,
+                            atpu_int nev, const char *which, double sigma,
+                            int has_sigma, double tol, atpu_int ncv,
+                            atpu_int max_iter, float *evals,
+                            float *evecs, atpu_int *nconv);
 
 atpu_int atpu_eigsh_csr_d(atpu_int n, const atpu_int *indptr,
                           const atpu_int *indices, const double *data,
                           atpu_int nnz, atpu_int nev, const char *which,
                           double tol, atpu_int ncv, atpu_int max_iter,
                           double *evals, double *evecs, atpu_int *nconv);
+
+atpu_int atpu_eigsh_csr_s(atpu_int n, const atpu_int *indptr,
+                          const atpu_int *indices, const float *data,
+                          atpu_int nnz, atpu_int nev, const char *which,
+                          double tol, atpu_int ncv, atpu_int max_iter,
+                          float *evals, float *evecs, atpu_int *nconv);
+
+/* ---- non-symmetric real (split re/im outputs, dneupd packed-pair
+ *      convention flattened into two parallel arrays) ------------------- */
+
+atpu_int atpu_eigs_dense_d(atpu_int n, const double *a, const double *m,
+                           atpu_int nev, const char *which, double sigma,
+                           int has_sigma, double tol, atpu_int ncv,
+                           atpu_int max_iter, int schur, double *evals_re,
+                           double *evals_im, double *evecs_re,
+                           double *evecs_im, atpu_int *nconv);
+
+atpu_int atpu_eigs_dense_s(atpu_int n, const float *a, const float *m,
+                           atpu_int nev, const char *which, double sigma,
+                           int has_sigma, double tol, atpu_int ncv,
+                           atpu_int max_iter, int schur, float *evals_re,
+                           float *evals_im, float *evecs_re,
+                           float *evecs_im, atpu_int *nconv);
+
+atpu_int atpu_eigs_csr_d(atpu_int n, const atpu_int *indptr,
+                         const atpu_int *indices, const double *data,
+                         atpu_int nnz, atpu_int nev, const char *which,
+                         double tol, atpu_int ncv, atpu_int max_iter,
+                         int schur, double *evals_re, double *evals_im,
+                         double *evecs_re, double *evecs_im,
+                         atpu_int *nconv);
+
+/* ---- complex (interleaved buffers; a/m/evals/evecs hold 2x scalars) ----- */
+
+atpu_int atpu_eigs_dense_z(atpu_int n, const double *a, const double *m,
+                           atpu_int nev, const char *which,
+                           double sigma_re, double sigma_im, int has_sigma,
+                           double tol, atpu_int ncv, atpu_int max_iter,
+                           int schur, double *evals, double *evecs,
+                           atpu_int *nconv);
+
+atpu_int atpu_eigs_dense_c(atpu_int n, const float *a, const float *m,
+                           atpu_int nev, const char *which,
+                           double sigma_re, double sigma_im, int has_sigma,
+                           double tol, atpu_int ncv, atpu_int max_iter,
+                           int schur, float *evals, float *evecs,
+                           atpu_int *nconv);
+
+atpu_int atpu_eigs_csr_z(atpu_int n, const atpu_int *indptr,
+                         const atpu_int *indices, const double *data,
+                         atpu_int nnz, atpu_int nev, const char *which,
+                         double tol, atpu_int ncv, atpu_int max_iter,
+                         int schur, double *evals, double *evecs,
+                         atpu_int *nconv);
+
+/* ---- stat/debug control -------------------------------------------------
+ * atpu_stat_c mirrors stat_c() (ICB/stat_c.h:12-16): 5 op counters + 26
+ * per-phase timer slots.  The dtype-parametric engine fills the slot
+ * family (ts, tn or tc) matching the LAST solve; others read 0 — same
+ * observable behavior as the reference, where only the family you ran is
+ * nonzero.  atpu_debug_c mirrors debug_c() (ICB/debug_c.h:6-9) with the
+ * dtype families collapsed (one level per routine, applies to all
+ * dtypes).  atpu_stats_reset mirrors sstats_c/sstatn_c/cstatn_c. */
+
+void atpu_stats_reset(void);
+
+void atpu_stat_c(atpu_int *nopx, atpu_int *nbx, atpu_int *nrorth,
+                 atpu_int *nitref, atpu_int *nrstrt, float *tsaupd,
+                 float *tsaup2, float *tsaitr, float *tseigt,
+                 float *tsgets, float *tsapps, float *tsconv,
+                 float *tnaupd, float *tnaup2, float *tnaitr,
+                 float *tneigh, float *tngets, float *tnapps,
+                 float *tnconv, float *tcaupd, float *tcaup2,
+                 float *tcaitr, float *tceigh, float *tcgets,
+                 float *tcapps, float *tcconv, float *tmvopx,
+                 float *tmvbx, float *tgetv0, float *titref,
+                 float *trvec);
+
+void atpu_debug_c(atpu_int logfil, atpu_int ndigit, atpu_int mgetv0,
+                  atpu_int maupd, atpu_int maup2, atpu_int maitr,
+                  atpu_int meigt, atpu_int mapps, atpu_int mgets,
+                  atpu_int meupd);
+
+/* ---- checkpoint dump/restart --------------------------------------------
+ * Applies to the NEXT solve call, then clears (the reference's restart is
+ * likewise per-solve: info!=0 + caller resid, SRC/dsaupd.f:130-136).
+ * Pass NULL to clear either path.  Returns 0, or -1 on an unescapable
+ * path. */
+atpu_int atpu_set_checkpoint(const char *dump_path,
+                             const char *restart_path);
 
 #ifdef __cplusplus
 }

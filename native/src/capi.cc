@@ -1,16 +1,18 @@
-// Full-solver C ABI: the ICB (dsaupd_c/dseupd_c) analog for the TPU
-// framework.  The reference exposes its Fortran solvers to C through
-// ISO_C_BINDING shims (ICB/arpack.h, SRC/icbads.F90); here the solver
-// core is Python/JAX, so the C ABI embeds a CPython interpreter and
-// drives the high-level API — the standard deployment route for
-// compiled hosts (C/C++/Fortran applications) calling a JAX solver.
+// Full-solver C ABI: the ICB (Xsaupd_c/Xseupd_c) analog for the TPU
+// framework, covering all four dtypes s/d/c/z plus stat/debug control and
+// checkpoint dump/restart — the surface of ICB/arpack.h:10-21,
+// stat_c.h:12-16 and debug_c.h:6-9.  The reference exposes Fortran through
+// ISO_C_BINDING shims; here the solver core is Python/JAX, so this shared
+// library embeds a CPython interpreter and marshals raw buffers + a JSON
+// option string to arpack_ng_tpu.native_bridge (where all dtype/mode logic
+// lives and is unit-tested from Python).
 //
 // Granularity note: the reference's RCI-level C interface (caller-supplied
 // matvec via the ido loop) is intentionally NOT reproduced — a host-side
 // per-matvec callback would serialize the TPU pipeline (the same reason
 // the Python API replaces reverse communication with traced operators).
-// The C surface therefore covers the concrete-matrix entry points:
-// dense, CSR-sparse, and file-based problems.
+// The C surface covers the concrete-matrix entry points: dense and
+// CSR-sparse, standard/generalized/shift-invert, Ritz or Schur vectors.
 
 #include "arpack_tpu_solver.h"
 
@@ -23,12 +25,13 @@
 #include <cstring>
 #include <mutex>
 #include <string>
-#include <vector>
 
 namespace {
 
 std::mutex g_mu;
 bool g_inited = false;
+std::string g_dump;     // checkpoint path for the NEXT solve ("" = off)
+std::string g_restart;  // restart path for the NEXT solve
 
 // Locate the arpack_ng_tpu package relative to this shared library
 // (native/build/lib*.so -> repo root two levels up), plus any paths from
@@ -66,132 +69,149 @@ bool ensure_python() {
   return true;
 }
 
-// Run a solve through arpack_ng_tpu.api and copy results out.
-// Returns 0 on success, <0 reference-style error codes.
-atpu_int run_eigsh(const char *mode_json, atpu_int n, const double *dense_a,
-                   const atpu_int *indptr, const atpu_int *indices,
-                   const double *data, atpu_int nnz, const double *dense_m,
-                   atpu_int nev, const char *which, double sigma,
-                   int has_sigma, double tol, atpu_int ncv,
-                   atpu_int max_iter, int symmetric, double *eval_re,
-                   double *eval_im, double *evec_re, double *evec_im,
-                   atpu_int *nconv_out) {
+PyObject *bridge_attr(const char *name) {
+  PyObject *mod = PyImport_ImportModule("arpack_ng_tpu.native_bridge");
+  if (!mod) { PyErr_Print(); return nullptr; }
+  PyObject *fn = PyObject_GetAttrString(mod, name);
+  Py_DECREF(mod);
+  if (!fn) PyErr_Print();
+  return fn;
+}
+
+PyObject *mv_or_none(const void *ptr, size_t bytes) {
+  if (ptr == nullptr) { Py_RETURN_NONE; }
+  return PyMemoryView_FromMemory(
+      reinterpret_cast<char *>(const_cast<void *>(ptr)),
+      static_cast<Py_ssize_t>(bytes), PyBUF_READ);
+}
+
+bool json_safe(const char *s) {
+  for (const char *p = s; *p; ++p)
+    if (*p == '"' || *p == '\\' || *p < 0x20) return false;
+  return true;
+}
+
+size_t scalar_bytes(char dtype) {
+  switch (dtype) {
+    case 's': return 4;
+    case 'd': return 8;
+    case 'c': return 8;   // interleaved complex64
+    default:  return 16;  // interleaved complex128
+  }
+}
+
+// Copy a bytes object out into dst (dst may be null => skip).
+void copy_bytes(PyObject *dict, const char *key, void *dst, size_t cap) {
+  if (!dst) return;
+  PyObject *obj = PyDict_GetItemString(dict, key);  // borrowed
+  if (!obj || !PyBytes_Check(obj)) return;
+  char *buf; Py_ssize_t len;
+  PyBytes_AsStringAndSize(obj, &buf, &len);
+  std::memcpy(dst, buf, std::min(static_cast<size_t>(len), cap));
+}
+
+// Interleave separate re/im byte blocks into a complex output buffer.
+template <typename T>
+void interleave(PyObject *dict, const char *rkey, const char *ikey,
+                T *dst, size_t count) {
+  if (!dst) return;
+  PyObject *ro = PyDict_GetItemString(dict, rkey);
+  PyObject *io = PyDict_GetItemString(dict, ikey);
+  if (!ro || !io) return;
+  char *rb, *ib; Py_ssize_t rl, il;
+  PyBytes_AsStringAndSize(ro, &rb, &rl);
+  PyBytes_AsStringAndSize(io, &ib, &il);
+  const T *re = reinterpret_cast<const T *>(rb);
+  const T *im = reinterpret_cast<const T *>(ib);
+  size_t m = std::min(count, static_cast<size_t>(rl) / sizeof(T));
+  for (size_t j = 0; j < m; ++j) {
+    dst[2 * j] = re[j];
+    dst[2 * j + 1] = im[j];
+  }
+}
+
+// The generic solve runner.  Real dtypes write split re/im outputs;
+// complex dtypes write interleaved outputs.
+atpu_int run_solve(char dtype, int symmetric, int schur, atpu_int n,
+                   const void *dense_a, const atpu_int *indptr,
+                   const atpu_int *indices, const void *data, atpu_int nnz,
+                   const void *dense_m, atpu_int nev, const char *which,
+                   double sigma_re, double sigma_im, int has_sigma,
+                   double tol, atpu_int ncv, atpu_int max_iter,
+                   void *evals_re, void *evals_im, void *evecs_re,
+                   void *evecs_im, atpu_int *nconv_out) {
   std::lock_guard<std::mutex> lk(g_mu);
   if (!ensure_python()) return -9999;
+  if (!which || std::strlen(which) != 2 || !json_safe(which)) return -5;
   PyGILState_STATE gil = PyGILState_Ensure();
   atpu_int rc = 0;
-  PyObject *globals = nullptr, *result = nullptr;
   do {
-    globals = PyDict_New();
-    PyDict_SetItemString(globals, "__builtins__", PyEval_GetBuiltins());
+    char opts[1024];
+    std::snprintf(
+        opts, sizeof(opts),
+        "{\"dtype\":\"%c\",\"symmetric\":%s,\"schur\":%s,\"n\":%lld,"
+        "\"k\":%lld,\"which\":\"%s\",\"ncv\":%lld,\"maxiter\":%lld,"
+        "\"tol\":%.17g,\"sigma_re\":%.17g,\"sigma_im\":%.17g,"
+        "\"has_sigma\":%s,\"rvec\":%s,\"dump\":\"%s\",\"restart\":\"%s\"}",
+        dtype, symmetric ? "true" : "false", schur ? "true" : "false",
+        static_cast<long long>(n), static_cast<long long>(nev), which,
+        static_cast<long long>(ncv), static_cast<long long>(max_iter), tol,
+        sigma_re, sigma_im, has_sigma ? "true" : "false",
+        (evecs_re != nullptr) ? "true" : "false", g_dump.c_str(),
+        g_restart.c_str());
+    g_dump.clear();
+    g_restart.clear();
 
-    // stage the matrix into python via memoryviews
-    PyObject *np_mod = PyImport_ImportModule("numpy");
-    if (!np_mod) { rc = -9999; break; }
-    PyDict_SetItemString(globals, "np", np_mod);
-    Py_DECREF(np_mod);
+    PyObject *fn = bridge_attr("solve");
+    if (!fn) { rc = -9999; break; }
+    size_t sb = scalar_bytes(dtype);
+    PyObject *opt = PyUnicode_FromString(opts);
+    PyObject *mA = mv_or_none(dense_a, size_t(n) * size_t(n) * sb);
+    PyObject *mP = mv_or_none(indptr, sizeof(atpu_int) * size_t(n + 1));
+    PyObject *mI = mv_or_none(indices, sizeof(atpu_int) * size_t(nnz));
+    PyObject *mV = mv_or_none(data, size_t(nnz) * sb);
+    PyObject *mM = mv_or_none(dense_m, size_t(n) * size_t(n) * sb);
+    PyObject *res = PyObject_CallFunctionObjArgs(
+        fn, opt, mA, mP, mI, mV, mM, nullptr);
+    Py_DECREF(fn); Py_DECREF(opt);
+    Py_XDECREF(mA); Py_XDECREF(mP); Py_XDECREF(mI); Py_XDECREF(mV);
+    Py_XDECREF(mM);
+    if (!res) { PyErr_Print(); rc = -9999; break; }
 
-    PyObject *capsA = nullptr;
-    if (dense_a != nullptr) {
-      capsA = PyMemoryView_FromMemory(
-          reinterpret_cast<char *>(const_cast<double *>(dense_a)),
-          sizeof(double) * size_t(n) * size_t(n), PyBUF_READ);
-      PyDict_SetItemString(globals, "bufA", capsA);
-      Py_XDECREF(capsA);
+    PyObject *info = PyDict_GetItemString(res, "info");
+    PyObject *nc = PyDict_GetItemString(res, "nconv");
+    long long nconv = nc ? PyLong_AsLongLong(nc) : 0;
+    long long info_v = info ? PyLong_AsLongLong(info) : -9999;
+    if (nconv_out) *nconv_out = nconv;
+    if (info_v < 0) { rc = info_v; Py_DECREF(res); break; }
+    rc = info_v;
+
+    bool cplx = (dtype == 'c' || dtype == 'z');
+    size_t rsb = (dtype == 's' || dtype == 'c') ? 4 : 8;
+    if (!cplx) {
+      copy_bytes(res, "vals_re", evals_re, size_t(nconv) * rsb);
+      copy_bytes(res, "vals_im", evals_im, size_t(nconv) * rsb);
+      copy_bytes(res, "vecs_re", evecs_re,
+                 size_t(n) * size_t(nconv) * rsb);
+      copy_bytes(res, "vecs_im", evecs_im,
+                 size_t(n) * size_t(nconv) * rsb);
+    } else if (rsb == 4) {
+      interleave<float>(res, "vals_re", "vals_im",
+                        reinterpret_cast<float *>(evals_re),
+                        size_t(nconv));
+      interleave<float>(res, "vecs_re", "vecs_im",
+                        reinterpret_cast<float *>(evecs_re),
+                        size_t(n) * size_t(nconv));
     } else {
-      PyObject *bi = PyMemoryView_FromMemory(
-          reinterpret_cast<char *>(const_cast<atpu_int *>(indptr)),
-          sizeof(atpu_int) * size_t(n + 1), PyBUF_READ);
-      PyObject *bj = PyMemoryView_FromMemory(
-          reinterpret_cast<char *>(const_cast<atpu_int *>(indices)),
-          sizeof(atpu_int) * size_t(nnz), PyBUF_READ);
-      PyObject *bv = PyMemoryView_FromMemory(
-          reinterpret_cast<char *>(const_cast<double *>(data)),
-          sizeof(double) * size_t(nnz), PyBUF_READ);
-      PyDict_SetItemString(globals, "bufP", bi);
-      PyDict_SetItemString(globals, "bufI", bj);
-      PyDict_SetItemString(globals, "bufV", bv);
-      Py_XDECREF(bi); Py_XDECREF(bj); Py_XDECREF(bv);
+      interleave<double>(res, "vals_re", "vals_im",
+                         reinterpret_cast<double *>(evals_re),
+                         size_t(nconv));
+      interleave<double>(res, "vecs_re", "vecs_im",
+                         reinterpret_cast<double *>(evecs_re),
+                         size_t(n) * size_t(nconv));
     }
-    if (dense_m != nullptr) {
-      PyObject *bm = PyMemoryView_FromMemory(
-          reinterpret_cast<char *>(const_cast<double *>(dense_m)),
-          sizeof(double) * size_t(n) * size_t(n), PyBUF_READ);
-      PyDict_SetItemString(globals, "bufM", bm);
-      Py_XDECREF(bm);
-    }
-
-    char code[4096];
-    std::snprintf(code, sizeof(code), R"PY(
-import numpy as _np
-import os as _os
-import jax as _jax
-_jax.config.update('jax_enable_x64', True)
-_plat = _os.environ.get('JAX_PLATFORMS', '')
-if _plat:
-    # honor the env even though an embedding host may have triggered
-    # backend registration before this code runs
-    _jax.config.update('jax_platforms', _plat.split(',')[0])
-n = %lld
-if 'bufA' in globals():
-    A = _np.frombuffer(bufA, dtype=_np.float64).reshape(n, n).copy()
-else:
-    import scipy.sparse as _sp
-    _p = _np.frombuffer(bufP, dtype=_np.int64)
-    _i = _np.frombuffer(bufI, dtype=_np.int64)
-    _v = _np.frombuffer(bufV, dtype=_np.float64)
-    A = _sp.csr_matrix((_v, _i.astype(_np.int32), _p.astype(_np.int32)),
-                       shape=(n, n))
-M = None
-if 'bufM' in globals():
-    M = _np.frombuffer(bufM, dtype=_np.float64).reshape(n, n).copy()
-import arpack_ng_tpu as _at
-_kw = dict(k=%lld, which=%s, tol=%.17g, maxiter=%lld)
-if %lld > 0:
-    _kw['ncv'] = %lld
-if %d:
-    _kw['sigma'] = %.17g
-if M is not None:
-    _kw['M'] = M
-_fn = _at.eigsh if %d else _at.eigs
-vals, vecs = _fn(A, **_kw)
-vals = _np.atleast_1d(_np.asarray(vals))
-vecs = _np.asarray(vecs)
-out_nconv = int(vals.shape[0])
-out_vr = _np.ascontiguousarray(vals.real, dtype=_np.float64)
-out_vi = _np.ascontiguousarray(_np.imag(vals), dtype=_np.float64)
-out_zr = _np.ascontiguousarray(vecs.real, dtype=_np.float64)
-out_zi = _np.ascontiguousarray(_np.imag(vecs), dtype=_np.float64)
-)PY",
-        (long long)n, (long long)nev,
-        (std::string("'") + which + "'").c_str(), tol,
-        (long long)max_iter, (long long)ncv, (long long)ncv, has_sigma,
-        sigma, symmetric);
-
-    result = PyRun_String(code, Py_file_input, globals, globals);
-    if (result == nullptr) {
-      PyErr_Print();
-      rc = -9999;
-      break;
-    }
-    PyObject *nc = PyDict_GetItemString(globals, "out_nconv");
-    long long nconv = PyLong_AsLongLong(nc);
-    *nconv_out = nconv;
-    auto copy_arr = [&](const char *name, double *dst, size_t count) {
-      PyObject *obj = PyDict_GetItemString(globals, name);
-      PyObject *mv = PyObject_CallMethod(obj, "tobytes", nullptr);
-      char *buf; Py_ssize_t len;
-      PyBytes_AsStringAndSize(mv, &buf, &len);
-      std::memcpy(dst, buf, std::min(size_t(len), count * sizeof(double)));
-      Py_DECREF(mv);
-    };
-    copy_arr("out_vr", eval_re, size_t(nconv));
-    if (eval_im) copy_arr("out_vi", eval_im, size_t(nconv));
-    if (evec_re) copy_arr("out_zr", evec_re, size_t(n) * size_t(nconv));
-    if (evec_im) copy_arr("out_zi", evec_im, size_t(n) * size_t(nconv));
+    Py_DECREF(res);
   } while (false);
-  Py_XDECREF(result);
-  Py_XDECREF(globals);
   PyGILState_Release(gil);
   return rc;
 }
@@ -200,25 +220,26 @@ out_zi = _np.ascontiguousarray(_np.imag(vecs), dtype=_np.float64)
 
 extern "C" {
 
+/* ---- symmetric real ---------------------------------------------------- */
+
 atpu_int atpu_eigsh_dense_d(atpu_int n, const double *a, const double *m,
                             atpu_int nev, const char *which, double sigma,
                             int has_sigma, double tol, atpu_int ncv,
                             atpu_int max_iter, double *evals,
                             double *evecs, atpu_int *nconv) {
-  return run_eigsh(nullptr, n, a, nullptr, nullptr, nullptr, 0, m, nev,
-                   which, sigma, has_sigma, tol, ncv, max_iter, 1, evals,
-                   nullptr, evecs, nullptr, nconv);
+  return run_solve('d', 1, 0, n, a, nullptr, nullptr, nullptr, 0, m, nev,
+                   which, sigma, 0.0, has_sigma, tol, ncv, max_iter,
+                   evals, nullptr, evecs, nullptr, nconv);
 }
 
-atpu_int atpu_eigs_dense_d(atpu_int n, const double *a, const double *m,
-                           atpu_int nev, const char *which, double sigma,
-                           int has_sigma, double tol, atpu_int ncv,
-                           atpu_int max_iter, double *evals_re,
-                           double *evals_im, double *evecs_re,
-                           double *evecs_im, atpu_int *nconv) {
-  return run_eigsh(nullptr, n, a, nullptr, nullptr, nullptr, 0, m, nev,
-                   which, sigma, has_sigma, tol, ncv, max_iter, 0,
-                   evals_re, evals_im, evecs_re, evecs_im, nconv);
+atpu_int atpu_eigsh_dense_s(atpu_int n, const float *a, const float *m,
+                            atpu_int nev, const char *which, double sigma,
+                            int has_sigma, double tol, atpu_int ncv,
+                            atpu_int max_iter, float *evals,
+                            float *evecs, atpu_int *nconv) {
+  return run_solve('s', 1, 0, n, a, nullptr, nullptr, nullptr, 0, m, nev,
+                   which, sigma, 0.0, has_sigma, tol, ncv, max_iter,
+                   evals, nullptr, evecs, nullptr, nconv);
 }
 
 atpu_int atpu_eigsh_csr_d(atpu_int n, const atpu_int *indptr,
@@ -226,9 +247,181 @@ atpu_int atpu_eigsh_csr_d(atpu_int n, const atpu_int *indptr,
                           atpu_int nnz, atpu_int nev, const char *which,
                           double tol, atpu_int ncv, atpu_int max_iter,
                           double *evals, double *evecs, atpu_int *nconv) {
-  return run_eigsh(nullptr, n, nullptr, indptr, indices, data, nnz,
-                   nullptr, nev, which, 0.0, 0, tol, ncv, max_iter, 1,
+  return run_solve('d', 1, 0, n, nullptr, indptr, indices, data, nnz,
+                   nullptr, nev, which, 0.0, 0.0, 0, tol, ncv, max_iter,
                    evals, nullptr, evecs, nullptr, nconv);
+}
+
+atpu_int atpu_eigsh_csr_s(atpu_int n, const atpu_int *indptr,
+                          const atpu_int *indices, const float *data,
+                          atpu_int nnz, atpu_int nev, const char *which,
+                          double tol, atpu_int ncv, atpu_int max_iter,
+                          float *evals, float *evecs, atpu_int *nconv) {
+  return run_solve('s', 1, 0, n, nullptr, indptr, indices, data, nnz,
+                   nullptr, nev, which, 0.0, 0.0, 0, tol, ncv, max_iter,
+                   evals, nullptr, evecs, nullptr, nconv);
+}
+
+/* ---- non-symmetric real (split re/im outputs) --------------------------- */
+
+atpu_int atpu_eigs_dense_d(atpu_int n, const double *a, const double *m,
+                           atpu_int nev, const char *which, double sigma,
+                           int has_sigma, double tol, atpu_int ncv,
+                           atpu_int max_iter, int schur, double *evals_re,
+                           double *evals_im, double *evecs_re,
+                           double *evecs_im, atpu_int *nconv) {
+  return run_solve('d', 0, schur, n, a, nullptr, nullptr, nullptr, 0, m,
+                   nev, which, sigma, 0.0, has_sigma, tol, ncv, max_iter,
+                   evals_re, evals_im, evecs_re, evecs_im, nconv);
+}
+
+atpu_int atpu_eigs_dense_s(atpu_int n, const float *a, const float *m,
+                           atpu_int nev, const char *which, double sigma,
+                           int has_sigma, double tol, atpu_int ncv,
+                           atpu_int max_iter, int schur, float *evals_re,
+                           float *evals_im, float *evecs_re,
+                           float *evecs_im, atpu_int *nconv) {
+  return run_solve('s', 0, schur, n, a, nullptr, nullptr, nullptr, 0, m,
+                   nev, which, sigma, 0.0, has_sigma, tol, ncv, max_iter,
+                   evals_re, evals_im, evecs_re, evecs_im, nconv);
+}
+
+atpu_int atpu_eigs_csr_d(atpu_int n, const atpu_int *indptr,
+                         const atpu_int *indices, const double *data,
+                         atpu_int nnz, atpu_int nev, const char *which,
+                         double tol, atpu_int ncv, atpu_int max_iter,
+                         int schur, double *evals_re, double *evals_im,
+                         double *evecs_re, double *evecs_im,
+                         atpu_int *nconv) {
+  return run_solve('d', 0, schur, n, nullptr, indptr, indices, data, nnz,
+                   nullptr, nev, which, 0.0, 0.0, 0, tol, ncv, max_iter,
+                   evals_re, evals_im, evecs_re, evecs_im, nconv);
+}
+
+/* ---- complex (interleaved re,im buffers, C99-complex compatible) -------- */
+
+atpu_int atpu_eigs_dense_z(atpu_int n, const double *a, const double *m,
+                           atpu_int nev, const char *which,
+                           double sigma_re, double sigma_im, int has_sigma,
+                           double tol, atpu_int ncv, atpu_int max_iter,
+                           int schur, double *evals, double *evecs,
+                           atpu_int *nconv) {
+  return run_solve('z', 0, schur, n, a, nullptr, nullptr, nullptr, 0, m,
+                   nev, which, sigma_re, sigma_im, has_sigma, tol, ncv,
+                   max_iter, evals, nullptr, evecs, nullptr, nconv);
+}
+
+atpu_int atpu_eigs_dense_c(atpu_int n, const float *a, const float *m,
+                           atpu_int nev, const char *which,
+                           double sigma_re, double sigma_im, int has_sigma,
+                           double tol, atpu_int ncv, atpu_int max_iter,
+                           int schur, float *evals, float *evecs,
+                           atpu_int *nconv) {
+  return run_solve('c', 0, schur, n, a, nullptr, nullptr, nullptr, 0, m,
+                   nev, which, sigma_re, sigma_im, has_sigma, tol, ncv,
+                   max_iter, evals, nullptr, evecs, nullptr, nconv);
+}
+
+atpu_int atpu_eigs_csr_z(atpu_int n, const atpu_int *indptr,
+                         const atpu_int *indices, const double *data,
+                         atpu_int nnz, atpu_int nev, const char *which,
+                         double tol, atpu_int ncv, atpu_int max_iter,
+                         int schur, double *evals, double *evecs,
+                         atpu_int *nconv) {
+  return run_solve('z', 0, schur, n, nullptr, indptr, indices, data, nnz,
+                   nullptr, nev, which, 0.0, 0.0, 0, tol, ncv, max_iter,
+                   evals, nullptr, evecs, nullptr, nconv);
+}
+
+/* ---- stat/debug control (stat_c.h:12-16, debug_c.h:6-9 analogs) --------- */
+
+void atpu_stats_reset(void) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  if (!ensure_python()) return;
+  PyGILState_STATE gil = PyGILState_Ensure();
+  PyObject *fn = bridge_attr("stats_reset");
+  if (fn) {
+    PyObject *r = PyObject_CallFunctionObjArgs(fn, nullptr);
+    Py_XDECREF(r);
+    Py_DECREF(fn);
+  }
+  PyGILState_Release(gil);
+}
+
+void atpu_stat_c(atpu_int *nopx, atpu_int *nbx, atpu_int *nrorth,
+                 atpu_int *nitref, atpu_int *nrstrt, float *tsaupd,
+                 float *tsaup2, float *tsaitr, float *tseigt,
+                 float *tsgets, float *tsapps, float *tsconv,
+                 float *tnaupd, float *tnaup2, float *tnaitr,
+                 float *tneigh, float *tngets, float *tnapps,
+                 float *tnconv, float *tcaupd, float *tcaup2,
+                 float *tcaitr, float *tceigh, float *tcgets,
+                 float *tcapps, float *tcconv, float *tmvopx,
+                 float *tmvbx, float *tgetv0, float *titref,
+                 float *trvec) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  if (!ensure_python()) return;
+  PyGILState_STATE gil = PyGILState_Ensure();
+  PyObject *fn = bridge_attr("get_stats");
+  if (fn) {
+    PyObject *r = PyObject_CallFunctionObjArgs(fn, nullptr);
+    if (r && PySequence_Check(r) && PySequence_Size(r) >= 31) {
+      atpu_int *ints[5] = {nopx, nbx, nrorth, nitref, nrstrt};
+      for (int j = 0; j < 5; ++j) {
+        PyObject *it = PySequence_GetItem(r, j);
+        if (ints[j]) *ints[j] = PyLong_AsLongLong(it);
+        Py_XDECREF(it);
+      }
+      float *flts[26] = {tsaupd, tsaup2, tsaitr, tseigt, tsgets, tsapps,
+                         tsconv, tnaupd, tnaup2, tnaitr, tneigh, tngets,
+                         tnapps, tnconv, tcaupd, tcaup2, tcaitr, tceigh,
+                         tcgets, tcapps, tcconv, tmvopx, tmvbx, tgetv0,
+                         titref, trvec};
+      for (int j = 0; j < 26; ++j) {
+        PyObject *it = PySequence_GetItem(r, 5 + j);
+        if (flts[j]) *flts[j] = static_cast<float>(PyFloat_AsDouble(it));
+        Py_XDECREF(it);
+      }
+    }
+    Py_XDECREF(r);
+    Py_DECREF(fn);
+  }
+  PyGILState_Release(gil);
+}
+
+void atpu_debug_c(atpu_int logfil, atpu_int ndigit, atpu_int mgetv0,
+                  atpu_int maupd, atpu_int maup2, atpu_int maitr,
+                  atpu_int meigt, atpu_int mapps, atpu_int mgets,
+                  atpu_int meupd) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  if (!ensure_python()) return;
+  PyGILState_STATE gil = PyGILState_Ensure();
+  PyObject *fn = bridge_attr("set_debug");
+  if (fn) {
+    PyObject *r = PyObject_CallFunction(
+        fn, "llllllllll", static_cast<long>(logfil),
+        static_cast<long>(ndigit), static_cast<long>(mgetv0),
+        static_cast<long>(maupd), static_cast<long>(maup2),
+        static_cast<long>(maitr), static_cast<long>(meigt),
+        static_cast<long>(mapps), static_cast<long>(mgets),
+        static_cast<long>(meupd));
+    Py_XDECREF(r);
+    Py_DECREF(fn);
+  }
+  PyGILState_Release(gil);
+}
+
+/* ---- checkpoint dump/restart (arpackSolver dumpToFile/restartFromFile,
+ *      arpackSolver.hpp:153-154; applies to the NEXT solve) -------------- */
+
+atpu_int atpu_set_checkpoint(const char *dump_path,
+                             const char *restart_path) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  if (dump_path && !json_safe(dump_path)) return -1;
+  if (restart_path && !json_safe(restart_path)) return -1;
+  g_dump = dump_path ? dump_path : "";
+  g_restart = restart_path ? restart_path : "";
+  return 0;
 }
 
 }  // extern "C"

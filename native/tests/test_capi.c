@@ -1,6 +1,8 @@
-/* C-ABI smoke test: the icb_arpack_c.c analog (TESTS/icb_arpack_c.c:
- * 1000x1000 diagonal matrix diag(1..1000), largest eigenvalues, checks
- * values and convergence count). */
+/* C-ABI test: the icb_arpack_c.c analog (TESTS/icb_arpack_c.c: diagonal
+ * matrix, largest eigenvalues, checks values and convergence count) —
+ * extended over the full round-2 surface: s/d/c/z dtypes, CSR input,
+ * shift-invert, Schur option, stat_c/debug_c analogs, and checkpoint
+ * dump/restart. */
 #include <math.h>
 #include <stdio.h>
 #include <stdlib.h>
@@ -8,36 +10,180 @@
 
 #include "arpack_tpu_solver.h"
 
-int main(void) {
-  const atpu_int n = 200;       /* diag(1..n), dense for the C surface */
-  const atpu_int nev = 4;
+static int failures = 0;
+#define CHECK(cond, msg)                                        \
+  do {                                                          \
+    if (!(cond)) {                                              \
+      fprintf(stderr, "FAIL: %s\n", msg);                       \
+      ++failures;                                               \
+    }                                                           \
+  } while (0)
+
+static void test_dense_d(void) {
+  const atpu_int n = 200, nev = 4;
   double *a = calloc((size_t)(n * n), sizeof(double));
   for (atpu_int i = 0; i < n; ++i) a[i * n + i] = (double)(i + 1);
-
-  double evals[16] = {0};
+  double evals[8] = {0};
   double *evecs = malloc(sizeof(double) * (size_t)n * 8);
   atpu_int nconv = 0;
   atpu_int rc = atpu_eigsh_dense_d(n, a, NULL, nev, "LM", 0.0, 0, 1e-10,
                                    20, 500, evals, evecs, &nconv);
-  if (rc != 0) {
-    fprintf(stderr, "FAIL: rc=%lld\n", (long long)rc);
-    return 1;
-  }
-  if (nconv < nev) {
-    fprintf(stderr, "FAIL: nconv=%lld\n", (long long)nconv);
-    return 1;
-  }
-  for (atpu_int i = 0; i < nev; ++i) {
-    double expect = (double)(n - nev + 1 + i);
-    if (fabs(evals[i] - expect) > 1e-6) {
-      fprintf(stderr, "FAIL: evals[%lld]=%f expect %f\n", (long long)i,
-              evals[i], expect);
-      return 1;
-    }
-  }
-  printf("C-ABI OK: nconv=%lld evals=[%g %g %g %g]\n", (long long)nconv,
-         evals[0], evals[1], evals[2], evals[3]);
+  CHECK(rc == 0, "dense_d rc");
+  CHECK(nconv >= nev, "dense_d nconv");
+  for (atpu_int i = 0; i < nev; ++i)
+    CHECK(fabs(evals[i] - (double)(n - nev + 1 + i)) < 1e-6,
+          "dense_d eigenvalue");
   free(a);
   free(evecs);
+}
+
+static void test_dense_s(void) {
+  const atpu_int n = 150, nev = 3;
+  float *a = calloc((size_t)(n * n), sizeof(float));
+  for (atpu_int i = 0; i < n; ++i) a[i * n + i] = (float)(i + 1);
+  float evals[8] = {0};
+  atpu_int nconv = 0;
+  atpu_int rc = atpu_eigsh_dense_s(n, a, NULL, nev, "LM", 0.0, 0, 1e-4,
+                                   16, 500, evals, NULL, &nconv);
+  CHECK(rc == 0, "dense_s rc");
+  CHECK(nconv >= nev, "dense_s nconv");
+  CHECK(fabsf(evals[nev - 1] - (float)n) < 1e-2f, "dense_s top value");
+  free(a);
+}
+
+static void test_csr_d_and_stats(void) {
+  /* 1-D Laplacian tridiagonal in CSR */
+  const atpu_int n = 400, nev = 3;
+  atpu_int nnz_cap = 3 * n;
+  atpu_int *indptr = malloc(sizeof(atpu_int) * (size_t)(n + 1));
+  atpu_int *indices = malloc(sizeof(atpu_int) * (size_t)nnz_cap);
+  double *data = malloc(sizeof(double) * (size_t)nnz_cap);
+  atpu_int k = 0;
+  for (atpu_int i = 0; i < n; ++i) {
+    indptr[i] = k;
+    if (i > 0) { indices[k] = i - 1; data[k++] = -1.0; }
+    indices[k] = i; data[k++] = 2.0;
+    if (i + 1 < n) { indices[k] = i + 1; data[k++] = -1.0; }
+  }
+  indptr[n] = k;
+  double evals[8] = {0};
+  atpu_int nconv = 0;
+  atpu_int rc = atpu_eigsh_csr_d(n, indptr, indices, data, k, nev, "LA",
+                                 1e-10, 24, 800, evals, NULL, &nconv);
+  CHECK(rc == 0, "csr_d rc");
+  CHECK(nconv >= nev, "csr_d nconv");
+  CHECK(fabs(evals[nev - 1] - 4.0) < 1e-3, "csr_d top near 4");
+
+  /* stat_c analog: counters of THAT solve must be populated */
+  atpu_int nopx = 0, nbx = 0, nrorth = 0, nitref = 0, nrstrt = 0;
+  float t[26];
+  memset(t, 0, sizeof(t));
+  atpu_stat_c(&nopx, &nbx, &nrorth, &nitref, &nrstrt, &t[0], &t[1],
+              &t[2], &t[3], &t[4], &t[5], &t[6], &t[7], &t[8], &t[9],
+              &t[10], &t[11], &t[12], &t[13], &t[14], &t[15], &t[16],
+              &t[17], &t[18], &t[19], &t[20], &t[21], &t[22], &t[23],
+              &t[24], &t[25]);
+  CHECK(nopx > 0, "stat_c nopx > 0");
+  CHECK(t[0] > 0.0f, "stat_c tsaupd > 0 (symmetric family)");
+  CHECK(t[7] == 0.0f, "stat_c tnaupd == 0 (unused family)");
+  atpu_stats_reset();
+  atpu_stat_c(&nopx, &nbx, &nrorth, &nitref, &nrstrt, &t[0], &t[1],
+              &t[2], &t[3], &t[4], &t[5], &t[6], &t[7], &t[8], &t[9],
+              &t[10], &t[11], &t[12], &t[13], &t[14], &t[15], &t[16],
+              &t[17], &t[18], &t[19], &t[20], &t[21], &t[22], &t[23],
+              &t[24], &t[25]);
+  CHECK(nopx == 0, "stats_reset zeroes counters");
+  free(indptr); free(indices); free(data);
+}
+
+static void test_nonsym_d_schur(void) {
+  /* small upper-triangular-ish matrix: eigenvalues = diagonal */
+  const atpu_int n = 80, nev = 3;
+  double *a = calloc((size_t)(n * n), sizeof(double));
+  for (atpu_int i = 0; i < n; ++i) {
+    a[i * n + i] = (double)(i + 1);
+    if (i + 1 < n) a[i * n + i + 1] = 0.3;
+  }
+  double vr[8] = {0}, vi[8] = {0};
+  double *zr = malloc(sizeof(double) * (size_t)n * 8);
+  double *zi = malloc(sizeof(double) * (size_t)n * 8);
+  atpu_int nconv = 0;
+  atpu_int rc = atpu_eigs_dense_d(n, a, NULL, nev, "LM", 0.0, 0, 1e-8,
+                                  20, 800, 0, vr, vi, zr, zi, &nconv);
+  CHECK(rc == 0, "eigs_d rc");
+  CHECK(nconv >= nev, "eigs_d nconv");
+  CHECK(fabs(vr[0] - (double)n) < 1e-5, "eigs_d top value");
+  CHECK(fabs(vi[0]) < 1e-8, "eigs_d real spectrum");
+  /* Schur option */
+  nconv = 0;
+  rc = atpu_eigs_dense_d(n, a, NULL, nev, "LM", 0.0, 0, 1e-8, 20, 800,
+                         1, vr, vi, zr, zi, &nconv);
+  CHECK(rc == 0, "eigs_d schur rc");
+  CHECK(nconv >= nev, "eigs_d schur nconv");
+  free(a); free(zr); free(zi);
+}
+
+static void test_dense_z(void) {
+  /* Hermitian-ish complex diagonal: diag(k + 0i), via the z nonsym path */
+  const atpu_int n = 100, nev = 3;
+  double *a = calloc((size_t)(2 * n * n), sizeof(double));
+  for (atpu_int i = 0; i < n; ++i) {
+    a[2 * (i * n + i)] = (double)(i + 1);       /* re */
+    if (i + 1 < n) a[2 * (i * n + i + 1) + 1] = 0.1;  /* small imag coupling */
+  }
+  double evals[16] = {0};   /* interleaved */
+  atpu_int nconv = 0;
+  atpu_int rc = atpu_eigs_dense_z(n, a, NULL, nev, "LM", 0.0, 0.0, 0,
+                                  1e-8, 20, 800, 0, evals, NULL, &nconv);
+  CHECK(rc == 0, "eigs_z rc");
+  CHECK(nconv >= nev, "eigs_z nconv");
+  CHECK(fabs(evals[0] - (double)n) < 1e-4, "eigs_z top value re");
+  free(a);
+}
+
+static void test_shift_invert_and_checkpoint(void) {
+  const atpu_int n = 120, nev = 2;
+  double *a = calloc((size_t)(n * n), sizeof(double));
+  for (atpu_int i = 0; i < n; ++i) {
+    a[i * n + i] = 2.0;
+    if (i + 1 < n) { a[i * n + i + 1] = -1.0; a[(i + 1) * n + i] = -1.0; }
+  }
+  double evals[8] = {0};
+  atpu_int nconv = 0;
+  /* interior eigenvalues near 1.0 via shift-invert */
+  atpu_int rc = atpu_eigsh_dense_d(n, a, NULL, nev, "LM", 1.0, 1, 1e-10,
+                                   20, 500, evals, NULL, &nconv);
+  CHECK(rc == 0, "shift-invert rc");
+  CHECK(nconv >= nev, "shift-invert nconv");
+  CHECK(fabs(evals[0] - 1.0) < 0.1, "shift-invert targets sigma");
+
+  /* dump, then restart from the checkpoint */
+  CHECK(atpu_set_checkpoint("/tmp/atpu_c_ck.npz", NULL) == 0,
+        "set dump path");
+  rc = atpu_eigsh_dense_d(n, a, NULL, nev, "LA", 0.0, 0, 1e-10, 20, 500,
+                          evals, NULL, &nconv);
+  CHECK(rc == 0, "dump solve rc");
+  CHECK(atpu_set_checkpoint(NULL, "/tmp/atpu_c_ck.npz") == 0,
+        "set restart path");
+  rc = atpu_eigsh_dense_d(n, a, NULL, nev, "LA", 0.0, 0, 1e-10, 20, 500,
+                          evals, NULL, &nconv);
+  CHECK(rc == 0, "restart solve rc");
+  CHECK(nconv >= nev, "restart nconv");
+  free(a);
+}
+
+int main(void) {
+  atpu_debug_c(6, 6, 0, 0, 0, 0, 0, 0, 0, 0);   /* exercise debug_c */
+  test_dense_d();
+  test_dense_s();
+  test_csr_d_and_stats();
+  test_nonsym_d_schur();
+  test_dense_z();
+  test_shift_invert_and_checkpoint();
+  if (failures) {
+    fprintf(stderr, "C-ABI: %d failures\n", failures);
+    return 1;
+  }
+  printf("C-ABI OK: all dtype/control/checkpoint tests passed\n");
   return 0;
 }

@@ -1,0 +1,167 @@
+"""Protocol tests for the C-ABI bridge (arpack_ng_tpu/native_bridge.py).
+
+The compiled client tests (native/tests/test_capi.c / test_capi_cpp.cc)
+drive the same module through the C symbols; these Python-side tests pin
+the protocol itself — dtype coverage s/d/c/z (ICB/arpack.h:10-21 parity),
+stats getter slots (stat_c.h:12-16), debug setter, checkpoint
+dump/restart, Schur option and the error path — without a compile step.
+"""
+import json
+
+import numpy as np
+import pytest
+
+from arpack_ng_tpu import native_bridge as nb
+
+
+def _solve(opt, **bufs):
+    return nb.solve(json.dumps(opt), **bufs)
+
+
+def _diag_problem(n, dtype):
+    a = np.diag(np.arange(1.0, n + 1)).astype(dtype)
+    a[0, 1] = a[1, 0] = dtype(0.5) if not np.issubdtype(
+        np.dtype(dtype), np.complexfloating) else 0.5
+    return a
+
+
+class TestDtypes:
+    def test_d_symmetric_dense(self):
+        n = 60
+        a = _diag_problem(n, np.float64)
+        r = _solve(dict(dtype="d", symmetric=True, n=n, k=4, which="LA",
+                        tol=1e-10), buf_a=memoryview(a.tobytes()))
+        vals = np.frombuffer(r["vals_re"], np.float64)
+        assert r["nconv"] >= 4
+        assert vals[-1] == pytest.approx(60.0, abs=1e-8)
+        z = np.frombuffer(r["vecs_re"], np.float64).reshape(r["nconv"], n)
+        res = [np.linalg.norm(a @ z[i] - vals[i] * z[i])
+               for i in range(r["nconv"])]
+        assert max(res) < 1e-7
+
+    def test_s_symmetric_dense(self):
+        n = 60
+        a = _diag_problem(n, np.float32)
+        r = _solve(dict(dtype="s", symmetric=True, n=n, k=4, which="LA",
+                        tol=1e-5), buf_a=memoryview(a.tobytes()))
+        vals = np.frombuffer(r["vals_re"], np.float32)
+        assert vals[-1] == pytest.approx(60.0, abs=1e-3)
+
+    def test_z_nonsym_dense(self, rng):
+        n = 50
+        a = (rng.standard_normal((n, n))
+             + 1j * rng.standard_normal((n, n))) / np.sqrt(n)
+        a = a.astype(np.complex128) + np.diag(np.arange(1.0, n + 1))
+        r = _solve(dict(dtype="z", symmetric=False, n=n, k=3, which="LM",
+                        tol=1e-10), buf_a=memoryview(a.tobytes()))
+        lam = (np.frombuffer(r["vals_re"], np.float64)
+               + 1j * np.frombuffer(r["vals_im"], np.float64))
+        zr = np.frombuffer(r["vecs_re"], np.float64).reshape(-1, n)
+        zi = np.frombuffer(r["vecs_im"], np.float64).reshape(-1, n)
+        for i in range(r["nconv"]):
+            v = zr[i] + 1j * zi[i]
+            assert np.linalg.norm(a @ v - lam[i] * v) < 1e-7
+
+    def test_c_nonsym_dense(self, rng):
+        n = 50
+        a = ((rng.standard_normal((n, n))
+              + 1j * rng.standard_normal((n, n))) / np.sqrt(n)
+             + np.diag(np.arange(1.0, n + 1))).astype(np.complex64)
+        r = _solve(dict(dtype="c", symmetric=False, n=n, k=3, which="LM",
+                        tol=1e-4), buf_a=memoryview(a.tobytes()))
+        assert r["nconv"] >= 3
+        vals = np.frombuffer(r["vals_re"], np.float32)
+        assert vals[0] == pytest.approx(50.0, abs=0.5)
+
+    def test_csr_input(self):
+        import scipy.sparse as sp
+        n = 200
+        T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n)).tocsr()
+        r = _solve(dict(dtype="d", symmetric=True, n=n, k=3, which="LA",
+                        tol=1e-10),
+                   buf_p=memoryview(T.indptr.astype(np.int64).tobytes()),
+                   buf_i=memoryview(T.indices.astype(np.int64).tobytes()),
+                   buf_v=memoryview(T.data.tobytes()))
+        vals = np.frombuffer(r["vals_re"], np.float64)
+        assert vals[-1] == pytest.approx(4.0, abs=1e-3)
+
+    def test_generalized_dense(self):
+        n = 80
+        a = np.diag(np.arange(1.0, n + 1))
+        m = np.eye(n) * 2.0
+        r = _solve(dict(dtype="d", symmetric=True, n=n, k=3, which="LA",
+                        tol=1e-10),
+                   buf_a=memoryview(a.tobytes()),
+                   buf_m=memoryview(m.tobytes()))
+        vals = np.frombuffer(r["vals_re"], np.float64)
+        assert vals[-1] == pytest.approx(n / 2.0, abs=1e-6)
+
+    def test_shift_invert(self):
+        n = 120
+        a = np.zeros((n, n))
+        for i in range(n):
+            a[i, i] = 2.0
+            if i + 1 < n:
+                a[i, i + 1] = a[i + 1, i] = -1.0
+        r = _solve(dict(dtype="d", symmetric=True, n=n, k=2, which="LM",
+                        tol=1e-10, has_sigma=True, sigma_re=1.0),
+                   buf_a=memoryview(a.tobytes()))
+        vals = np.frombuffer(r["vals_re"], np.float64)
+        assert np.all(np.abs(vals - 1.0) < 0.1)
+
+
+class TestControl:
+    def test_stats_family_slots(self):
+        n = 40
+        a = _diag_problem(n, np.float64)
+        _solve(dict(dtype="d", symmetric=True, n=n, k=3, which="LA",
+                    tol=1e-8), buf_a=memoryview(a.tobytes()))
+        st = nb.get_stats()
+        assert len(st) == 31
+        assert st[0] > 0                       # nopx
+        assert st[5] > 0.0                     # tsaupd (sym family)
+        assert st[12] == 0.0                   # tnaupd (unused family)
+        # nonsym solve moves the family
+        r = _solve(dict(dtype="d", symmetric=False, n=n, k=3,
+                        which="LM", tol=1e-8),
+                   buf_a=memoryview(a.tobytes()))
+        st = nb.get_stats()
+        assert st[12] > 0.0 and st[5] == 0.0
+        nb.stats_reset()
+        assert nb.get_stats()[0] == 0
+
+    def test_debug_setter(self):
+        from arpack_ng_tpu.utils.debug import debug
+        nb.set_debug(6, 4, 1, 2, 0, 0, 0, 0, 0, 0)
+        assert debug.ndigit == 4
+        assert debug.mgetv0 == 1 and debug.maupd == 2
+        nb.set_debug(6, 6, 0, 0, 0, 0, 0, 0, 0, 0)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        n = 60
+        a = _diag_problem(n, np.float64)
+        ck = str(tmp_path / "ck.npz")
+        _solve(dict(dtype="d", symmetric=True, n=n, k=3, which="LA",
+                    tol=1e-10, dump=ck), buf_a=memoryview(a.tobytes()))
+        r = _solve(dict(dtype="d", symmetric=True, n=n, k=3, which="LA",
+                        tol=1e-10, restart=ck),
+                   buf_a=memoryview(a.tobytes()))
+        assert r["nconv"] >= 3
+
+    def test_schur_option(self, rng):
+        n = 60
+        a = rng.standard_normal((n, n)) * 0.2 + np.diag(
+            np.arange(1.0, n + 1))
+        r = _solve(dict(dtype="d", symmetric=False, n=n, k=3, which="LM",
+                        tol=1e-8, schur=True),
+                   buf_a=memoryview(a.tobytes()))
+        assert r["nconv"] >= 3 and "vecs_re" in r
+
+    def test_error_info_code(self):
+        # k >= n triggers the reference's -3 validation
+        n = 10
+        a = np.eye(n)
+        r = _solve(dict(dtype="d", symmetric=True, n=n, k=10, ncv=11,
+                        which="LA", tol=1e-8),
+                   buf_a=memoryview(a.tobytes()))
+        assert r["info"] < 0 and r["nconv"] == 0
