@@ -21,11 +21,62 @@ from ..ops.sparse import from_scipy
 
 
 def read_matrix(path) -> sp.spmatrix:
-    """Read a .mtx file into a CSR matrix (dense array files included)."""
-    m = sio.mmread(path)
+    """Read a .mtx file into a CSR matrix (dense array files included).
+
+    Standard MatrixMarket goes through scipy; the reference's shipped
+    matrices (EXAMPLES/MATRIX_MARKET/A*.mtx etc.) are NOT standard — a
+    spaced banner, optionally 0-based indices, optional nnz, complex
+    values as ``(re, im)`` pairs, both triangles listed explicitly — so
+    on a scipy parse failure this falls back to the lenient rules of the
+    reference's own reader (arpackSolver.hpp:360-414): skip %%/blank
+    lines, first data line ``n m [nnz]``, body ``i j value``, 1-based
+    detected by ``max(index) == n`` and shifted down."""
+    try:
+        m = sio.mmread(path)
+    except ValueError:
+        return _read_lenient(path)
     if not sp.issparse(m):
         m = sp.csr_matrix(m)
     return m.tocsr()
+
+
+def _read_lenient(path) -> sp.spmatrix:
+    import re
+    n = m = None
+    rows, cols, vals = [], [], []
+    cplx_re = re.compile(r"\(\s*([^,\s]+)\s*,\s*([^)\s]+)\s*\)")
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("%"):
+                continue
+            if n is None:
+                parts = line.split()
+                n, m = int(parts[0]), int(parts[1])
+                continue
+            cm = cplx_re.search(line)
+            if cm:
+                ij = line[: cm.start()].split()
+                rows.append(int(ij[0]))
+                cols.append(int(ij[1]))
+                vals.append(complex(float(cm.group(1)),
+                                    float(cm.group(2))))
+            else:
+                i, j, v = line.split()
+                rows.append(int(i))
+                cols.append(int(j))
+                vals.append(float(v))
+    if n is None:
+        raise ValueError(f"{path}: no size header found")
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    dtype = (np.complex128 if any(isinstance(v, complex) for v in vals)
+             else np.float64)
+    data = np.asarray(vals, dtype)
+    if len(rows) and (rows.max() == n or cols.max() == m):
+        rows -= 1                       # 1-based (reference detection rule)
+        cols -= 1
+    return sp.csr_matrix((data, (rows, cols)), shape=(n, m))
 
 
 def write_matrix(path, a) -> None:
