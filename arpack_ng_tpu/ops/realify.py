@@ -107,10 +107,30 @@ def realify_sparse(a, *, hermitian: Optional[bool] = None) -> Operator:
     return from_scipy(a2, hermitian=bool(hermitian), n_pad=2 * half)
 
 
-def _recover(vals, vecs, a, n: int, half: int, k: int):
+def _recover(vals, vecs, a, n: int, half: int, k: int, *,
+             tol: float = 0.0):
     """Map realified eigenpairs back to the complex problem, picking for
     each eigenvalue whichever of (lambda, conj(lambda)) the candidate
-    vector actually satisfies."""
+    vector actually satisfies.
+
+    All gates derive from the solve's working precision (and the user
+    tol, whichever is looser) instead of fixed constants:
+
+    * ``floor`` (conjugate-copy detector): for a copy belonging to the
+      conj(A) half, z = p + iq vanishes to solve accuracy (~sqrt(eps)),
+      while genuine copies have ||z|| ~ 1/sqrt(2) — a >1e3 margin.
+    * ``gate`` (residual acceptance): measured realified residuals sit
+      at ~10*sqrt(eps) of the storage dtype (f32 ~3e-4, f64 ~1.5e-6).
+    * ``dedup``: real eigenvalues of A appear TWICE in spec(M); copies
+      agree to solve accuracy.  (A genuinely double eigenvalue of A
+      collapses too — same behavior as any Krylov solver on a
+      multiplet, documented in the test conventions.)
+    """
+    rdt = np.asarray(vecs).real.dtype
+    eps = float(np.finfo(rdt).eps)
+    floor = 10.0 * np.sqrt(eps)
+    gate = max(float(tol), 10.0 * np.sqrt(eps))
+    dedup = max(float(tol), 10.0 * np.sqrt(eps))
     out_vals, out_vecs = [], []
     seen = []
     for i in range(len(vals)):
@@ -121,7 +141,7 @@ def _recover(vals, vecs, a, n: int, half: int, k: int):
         # conj(A) half of the realified spectrum — skip those copies.
         z = u[:n] + 1j * u[half: half + n]
         nrm = np.linalg.norm(z)
-        if nrm < 1e-6 * max(np.linalg.norm(u), 1e-300):
+        if nrm < floor * max(np.linalg.norm(u), 1e-300):
             continue
         z = z / nrm
         az = a @ z
@@ -129,10 +149,9 @@ def _recover(vals, vecs, a, n: int, half: int, k: int):
         res_conj = np.linalg.norm(az - np.conj(lam) * z)
         # keep the pair only if z is genuinely A's eigenvector for lam:
         # closer to lam than to conj(lam), and sane in absolute terms
-        # (floor scaled loosely — f32 solves carry ~1e-4 residuals)
-        if res > res_conj or res > 3e-2 * max(1.0, abs(lam)):
+        if res > res_conj or res > gate * max(1.0, abs(lam)):
             continue
-        if any(abs(lam - s) < 1e-10 * max(1.0, abs(lam)) for s in seen):
+        if any(abs(lam - s) < dedup * max(1.0, abs(lam)) for s in seen):
             continue
         seen.append(lam)
         out_vals.append(lam)
@@ -153,9 +172,16 @@ def eigs_realified(a, k: int = 6, *, which: str = "LM",
 
     Each complex eigenvalue of A surfaces in the realified spectrum with
     its conjugate partner; twice as many pairs are requested and the
-    genuine ones are selected by residual.  Hermitian inputs route
-    through the real-symmetric fused path ('LM'/'LA'/'SA' selectors).
+    genuine ones are selected by residual.  If the conjugate copies
+    crowd out genuine pairs in the which-selection (possible for
+    one-sided selectors like 'LI' on an asymmetric spectrum), the
+    subspace is enlarged and the solve retried until k genuine pairs are
+    recovered; a :class:`UserWarning` is emitted if the full spectrum
+    cannot deliver k.  Hermitian inputs route through the real-symmetric
+    fused path ('LM'/'LA'/'SA' selectors).
     """
+    import warnings
+
     from .. import api
 
     import scipy.sparse as sp
@@ -167,13 +193,30 @@ def eigs_realified(a, k: int = 6, *, which: str = "LM",
         n = a.shape[0]
         op = realify_dense(a, hermitian=hermitian)
     half = op.n_pad // 2
-    k2 = min(2 * k, op.n - 2)
-    if op.hermitian:
-        vals, vecs = api.eigsh(op, k=k2, which=which if which in
-                               ("LM", "LA", "SA") else "LM",
-                               tol=tol, ncv=ncv, maxiter=maxiter,
-                               seed=seed)
-    else:
-        vals, vecs = api.eigs(op, k=k2, which=which, tol=tol, ncv=ncv,
-                              maxiter=maxiter, seed=seed)
-    return _recover(np.atleast_1d(vals), vecs, a, n, half, k)
+    kmax = op.n - 2
+    k2 = min(2 * k, kmax)
+    retries = 0
+    while True:
+        if op.hermitian:
+            vals, vecs = api.eigsh(op, k=k2, which=which if which in
+                                   ("LM", "LA", "SA") else "LM",
+                                   tol=tol, ncv=ncv, maxiter=maxiter,
+                                   seed=seed)
+        else:
+            vals, vecs = api.eigs(op, k=k2, which=which, tol=tol,
+                                  ncv=ncv, maxiter=maxiter, seed=seed)
+        out_vals, out_vecs = _recover(np.atleast_1d(vals), vecs, a, n,
+                                      half, k, tol=tol)
+        if len(out_vals) >= k or k2 >= kmax or retries >= 2:
+            break
+        # under-delivery: conj copies consumed part of the subspace —
+        # widen and retry (bounded: each retry is a full re-solve)
+        retries += 1
+        k2 = min(2 * k2, kmax)
+    if len(out_vals) < k:
+        warnings.warn(
+            f"eigs_realified recovered {len(out_vals)} of {k} requested "
+            "pairs even at the maximum subspace size; the conjugate-copy "
+            "filter rejected the rest (check `which` vs the spectrum's "
+            "symmetry, or raise tol)", stacklevel=2)
+    return out_vals, out_vecs

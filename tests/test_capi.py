@@ -7,6 +7,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # compiles the native library: run with -m slow
+
 NATIVE = Path(__file__).resolve().parent.parent / "native"
 
 

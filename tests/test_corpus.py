@@ -10,6 +10,8 @@ eigenpairs pass the independent scipy-matvec residual oracle
 """
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # sweep tier: run with -m slow (or -m "")
 import scipy.sparse as sp
 
 import arpack_ng_tpu as at

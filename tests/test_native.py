@@ -74,3 +74,62 @@ class TestSymShiftQ:
             + np.diag(e[: n - 9], -1)
         wl = np.sort(np.linalg.eigvalsh(lead))
         np.testing.assert_allclose(wl, w[8:], atol=1e-6)
+
+
+class TestSymShiftQIllConditioned:
+    """Round-1 review: the native Givens chase's equivalence to explicit
+    QR was asserted only end-to-end; pin it directly at ill-conditioned
+    shifts (shift at/near an eigenvalue, clustered spectra, huge dynamic
+    range) against a float64 explicit-QR oracle."""
+
+    def _ill_cases(self, rng):
+        cases = []
+        # (a) shift exactly AT an eigenvalue (QR of an exactly singular
+        # T - mu I: the chase's deflation path)
+        n = 16
+        alpha, beta, T = _tridiag(rng, n)
+        w = np.sort(sla.eigh_tridiagonal(alpha, beta)[0])
+        cases.append((alpha, beta, T, np.array([w[3]])))
+        # (b) shift within eps of an eigenvalue
+        cases.append((alpha, beta, T,
+                      np.array([w[5] * (1 + 1e-15) + 1e-15])))
+        # (c) clustered spectrum: T from eigenvalues 1 + k*1e-12
+        lam = 1.0 + np.arange(n) * 1e-12
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        A = (q * lam) @ q.T
+        # Householder tridiagonalization via scipy
+        from scipy.linalg import hessenberg
+        H, _ = hessenberg(A, calc_q=True)
+        a2 = np.diag(H).copy()
+        b2 = np.abs(np.diag(H, -1)).copy()
+        T2 = np.diag(a2) + np.diag(b2, 1) + np.diag(b2, -1)
+        cases.append((a2, b2, T2, np.array([1.0])))
+        # (d) huge dynamic range diagonals
+        a3 = np.array([1e12, 1e-8, 3.0, 1e10, 2e-6, 7.0, 1e8, 5.0])
+        b3 = np.abs(rng.standard_normal(7)) + 0.1
+        T3 = np.diag(a3) + np.diag(b3, 1) + np.diag(b3, -1)
+        cases.append((a3, b3, T3, np.array([5.0, 1e-8])))
+        return cases
+
+    def test_against_explicit_qr_oracle(self, rng):
+        for alpha, beta, T, shifts in self._ill_cases(rng):
+            n = len(alpha)
+            d, e, Q = native.sym_shift_q(alpha, beta, shifts)
+            # Q orthogonal to roundoff regardless of conditioning
+            np.testing.assert_allclose(Q.T @ Q, np.eye(n), atol=5e-13)
+            # similarity: Q^T T Q agrees with the returned tridiagonal
+            Tc = Q.T @ T @ Q
+            scale = max(1.0, np.abs(T).max())
+            np.testing.assert_allclose(np.diag(Tc) / scale, d / scale,
+                                       atol=5e-12)
+            np.testing.assert_allclose(
+                np.abs(np.diag(Tc, -1)) / scale,
+                np.abs(e[: n - 1]) / scale, atol=5e-12)
+            # spectrum preserved exactly (similarity invariant)
+            w0 = np.sort(sla.eigh_tridiagonal(
+                alpha.astype(float), beta.astype(float))[0])
+            mask = np.abs(e[: n - 1]) > 0
+            wc = np.sort(np.linalg.eigvalsh(
+                np.diag(d) + np.diag(e[: n - 1], 1)
+                + np.diag(e[: n - 1], -1)))
+            np.testing.assert_allclose(wc, w0, atol=5e-12 * scale)

@@ -82,3 +82,57 @@ def test_sparse_hermitian_complex(rng):
     for i in range(3):
         r = np.linalg.norm(a @ vecs[:, i] - vals[i] * vecs[:, i])
         assert r < 1e-7
+
+
+def test_exact_k_delivery_real_spectrum(rng):
+    # A complex matrix with an (almost) REAL spectrum: every eigenvalue's
+    # realified conjugate copy coincides with it, so naive 2k-selection
+    # yields only k distinct values — the dedup + retry logic must still
+    # deliver exactly k genuine pairs.
+    n = 40
+    q, _ = np.linalg.qr(rng.standard_normal((n, n))
+                        + 1j * rng.standard_normal((n, n)))
+    lam = np.linspace(1.0, 5.0, n)            # real spectrum
+    a = (q * lam) @ q.conj().T                # Hermitian-by-construction
+    a = np.asarray(a, np.complex128)
+    vals, vecs = eigs_realified(a, k=4, which="LM", tol=1e-10,
+                                        maxiter=2000)
+    assert len(vals) == 4
+    res = [np.linalg.norm(a @ vecs[:, i] - vals[i] * vecs[:, i])
+           for i in range(4)]
+    assert max(res) < 1e-7
+
+
+def test_under_delivery_retry_one_sided_selector(rng):
+    # Asymmetric spectrum + 'LI': the conjugate copies of the most
+    # negative-imaginary eigenvalues rank TOP for largest-imaginary and
+    # are rejected by the copy filter — the solver must widen the
+    # subspace (retry) and still deliver k genuine pairs.
+    n = 30
+    lam = (rng.standard_normal(n) + 1j * (-np.abs(rng.standard_normal(n))
+                                          - 0.5))   # all imag < 0
+    q, _ = np.linalg.qr(rng.standard_normal((n, n))
+                        + 1j * rng.standard_normal((n, n)))
+    a = (q * lam) @ np.linalg.inv(q)
+    vals, vecs = eigs_realified(a, k=3, which="LI", tol=1e-8,
+                                        maxiter=3000)
+    assert len(vals) == 3
+    for i in range(3):
+        assert np.min(np.abs(lam - vals[i])) < 1e-5
+        assert np.linalg.norm(a @ vecs[:, i] - vals[i] * vecs[:, i]) \
+            < 1e-5
+
+
+def test_under_delivery_warns_instead_of_silent_short_return(monkeypatch):
+    # if recovery cannot reach k even at the maximum subspace size, the
+    # caller must get a warning (round-1 review: "can silently return
+    # fewer than k pairs ... no test covers the under-delivery path")
+    import arpack_ng_tpu.ops.realify as rf
+    monkeypatch.setattr(
+        rf, "_recover",
+        lambda vals, vecs, a, n, half, k, tol=0.0:
+        (np.array([]), np.zeros((a.shape[0], 0), complex)))
+    a = np.diag(np.array([1.0 + 1.0j, 2.0 - 0.5j, 3.0 + 0.2j]))
+    with pytest.warns(UserWarning, match="recovered 0 of 2"):
+        vals, vecs = rf.eigs_realified(a, k=2, which="LM", tol=1e-10)
+    assert len(vals) == 0 and vecs.shape == (3, 0)
