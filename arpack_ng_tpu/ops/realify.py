@@ -166,7 +166,7 @@ def _recover(vals, vecs, a, n: int, half: int, k: int, *,
 def eigs_realified(a, k: int = 6, *, which: str = "LM",
                    tol: float = 0.0, ncv: Optional[int] = None,
                    maxiter: Optional[int] = None, seed: int = 0,
-                   hermitian: Optional[bool] = None
+                   hermitian: Optional[bool] = None, mesh=None
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """znaupd-class solve of a complex matrix through the REAL drivers.
 
@@ -201,10 +201,11 @@ def eigs_realified(a, k: int = 6, *, which: str = "LM",
             vals, vecs = api.eigsh(op, k=k2, which=which if which in
                                    ("LM", "LA", "SA") else "LM",
                                    tol=tol, ncv=ncv, maxiter=maxiter,
-                                   seed=seed)
+                                   seed=seed, mesh=mesh)
         else:
             vals, vecs = api.eigs(op, k=k2, which=which, tol=tol,
-                                  ncv=ncv, maxiter=maxiter, seed=seed)
+                                  ncv=ncv, maxiter=maxiter, seed=seed,
+                                  mesh=mesh)
         out_vals, out_vecs = _recover(np.atleast_1d(vals), vecs, a, n,
                                       half, k, tol=tol)
         if len(out_vals) >= k or k2 >= kmax or retries >= 2:
