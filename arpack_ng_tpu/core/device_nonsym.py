@@ -40,6 +40,7 @@ from jax import lax
 from ..config import IRAMConfig
 from ..ops.operator import Operator
 from ..utils import dtypes as _dt
+from ..utils.debug import debug, device_trace
 from ..utils.stats import SolverStats, Timers
 from . import reduced
 from .arnoldi import FactorizationState, make_bnorm, make_extend, make_init
@@ -239,6 +240,14 @@ def make_cplx_cycle(op: Operator, cfg: IRAMConfig):
         np_eff = jnp.int32(np0) - nz
         nev_eff = jnp.int32(nev0) + nz
         done = (nconv >= nev0) | (np_eff == 0)
+
+        # mcaup2-gated per-cycle dumps (SRC/znaup2.f analog)
+        device_trace(debug.maup2, 0,
+                     "_cplx_cycle: iter {i}: nconv={nc} rnorm={rn}",
+                     i=state.iter, nc=nconv, rn=state.rnorm)
+        device_trace(debug.maup2, 1,
+                     "_cplx_cycle: ritz (wanted last) {r}\n"
+                     "_cplx_cycle: bounds {b}", r=r_s, b=b_s)
 
         nev_inf = nev_eff + jnp.minimum(nconv, np_eff // 2)
         nev_inf = jnp.where((nev_inf == 1) & (ncv >= 6), ncv // 2,

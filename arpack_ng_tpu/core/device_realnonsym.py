@@ -57,6 +57,7 @@ from jax import lax
 from ..config import IRAMConfig
 from ..ops.operator import Operator
 from ..utils import dtypes as _dt
+from ..utils.debug import debug, device_trace
 from ..utils.stats import SolverStats, Timers
 from . import reduced
 from .arnoldi import FactorizationState, make_bnorm, make_extend, make_init
@@ -397,6 +398,16 @@ def make_realnonsym_cycle(op: Operator, cfg: IRAMConfig):
         np_eff = np1 - nz
         nev_eff = nev1 + nz
         done = (nconv >= nev0) | (np_eff == 0)
+
+        # mnaup2-gated per-cycle dumps (SRC/dnaup2.f:389-397 analog)
+        device_trace(debug.maup2, 0,
+                     "_realnonsym_cycle: iter {i}: nconv={nc} rnorm={rn}",
+                     i=state.iter, nc=nconv, rn=state.rnorm)
+        device_trace(debug.maup2, 1,
+                     "_realnonsym_cycle: ritz Re (wanted last) {wr}\n"
+                     "_realnonsym_cycle: ritz Im {wi}\n"
+                     "_realnonsym_cycle: bounds {b}",
+                     wr=wr_s, wi=wi_s, b=b_s)
 
         # ---- nev inflation (dnaup2.f:673-693) ----
         nev_inf = nev_eff + jnp.minimum(nconv, np_eff // 2)

@@ -45,6 +45,7 @@ from jax import lax
 from ..config import IRAMConfig
 from ..ops.operator import Operator
 from ..utils import dtypes as _dt
+from ..utils.debug import debug, device_trace
 from ..utils.stats import SolverStats, Timers
 from . import reduced
 from .arnoldi import (FactorizationState, make_bnorm, make_extend,
@@ -154,6 +155,16 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
         nev_eff = jnp.int32(nev0) + nz
 
         done = (nconv >= nev0) | (np_eff == 0)
+
+        # msaup2-gated per-cycle dumps (SRC/dsaup2.f:404-413, :494-504)
+        device_trace(debug.maup2, 0,
+                     "_sym_cycle: iter {i}: nconv={nc} rnorm={rn}",
+                     i=state.iter, nc=nconv, rn=state.rnorm)
+        device_trace(debug.maup2, 1,
+                     "_sym_cycle: ritz (wanted last) {r}\n"
+                     "_sym_cycle: bounds {b}", r=r_s, b=b_s)
+        device_trace(debug.meigt, 0,
+                     "_sym_cycle: eigenvalues of T {e}", e=evals)
 
         # ---- stagnation guard: nev inflation (dsaup2.f:673-693) ----
         nev_inf = nev_eff + jnp.minimum(nconv, np_eff // 2)

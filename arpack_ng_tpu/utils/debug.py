@@ -75,3 +75,20 @@ def trace(level: int, threshold: int, label: str, values=None) -> None:
             print(f" {label}", file=_out())
         else:
             dvout(label, values)
+
+
+def device_trace(level: int, threshold: int, fmt: str, **kw) -> None:
+    """In-trace print hook for the FUSED (whole-loop-on-device) drivers:
+    the analog of the msaup2-gated dvout dumps inside dsaup2's restart loop
+    (SRC/dsaup2.f:404-413, :494-504), which the hybrid driver's host-side
+    :func:`trace` cannot reach because the fused cycle never returns to the
+    host.
+
+    The gate is evaluated at TRACE time (solver construction): when the
+    level is off this emits nothing into the compiled program — zero cost,
+    identical XLA graph.  When on, it lowers to a ``jax.debug.print``
+    host callback per cycle.  Set levels on :data:`debug` BEFORE
+    constructing the solver object (reconstruct to change)."""
+    if level > threshold:
+        import jax
+        jax.debug.print(fmt, **kw)

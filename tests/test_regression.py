@@ -135,6 +135,38 @@ class TestStatsAndDebug:
         outerr = capsys.readouterr()
         assert "_aup2" in outerr.out
 
+    def test_debug_trace_emits_fused(self, capfd):
+        # msglvl>0 must produce per-cycle dumps from the FUSED drivers
+        # too (SRC/dsaup2.f:404-413): the device_trace hooks lower to
+        # jax.debug.print host callbacks inside the on-device loop.
+        from arpack_ng_tpu.utils.debug import debug
+        old = (debug.maup2, debug.meigt)
+        debug.maup2 = 2
+        debug.meigt = 1
+        try:
+            at.eigsh(at.from_diagonal(np.arange(1.0, 101.0)), k=2,
+                     which="LA", tol=1e-8, maxiter=200, strategy="fused",
+                     return_eigenvectors=False)
+        finally:
+            debug.maup2, debug.meigt = old
+        out = capfd.readouterr().out
+        assert "_sym_cycle: iter" in out and "nconv=" in out
+        assert "ritz (wanted last)" in out
+        assert "eigenvalues of T" in out
+
+    def test_debug_trace_emits_fused_realnonsym(self, capfd):
+        from arpack_ng_tpu.utils.debug import debug
+        old = debug.maup2
+        debug.maup2 = 1
+        try:
+            op, _ = models.convection_diffusion_2d(8, dtype=np.float64)
+            at.eigs(op, k=2, ncv=8, which="LM", tol=1e-6, maxiter=300,
+                    strategy="fused_real", return_eigenvectors=False)
+        finally:
+            debug.maup2 = old
+        out = capfd.readouterr().out
+        assert "_realnonsym_cycle: iter" in out
+
     def test_counters_parity_fused_vs_hybrid(self):
         # nopx must agree between strategies for the same trajectory
         n = 150
