@@ -48,14 +48,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--noEV", action="store_true",
                    help="eigenvalues only (skip vectors)")
     p.add_argument("--slv", default="LU",
-                   help="mode solver: LU (direct dense) | CG | BiCG")
+                   help="mode solver (arpackmm.cpp:445-463): direct "
+                        "LU | QR | LLT (SPD) | LDLT (sym indefinite), or "
+                        "iterative CG (sym) | BiCG")
     p.add_argument("--slvTol", "--slvItrTol", dest="slvTol", type=float,
                    default=1e-10, help="iterative mode-solver tolerance")
     p.add_argument("--slvMaxIt", "--slvItrMaxIt", dest="slvMaxIt",
                    type=int, default=2000)
     p.add_argument("--slvItrPC", default="Diag",
-                   help="iterative mode-solver preconditioner: Diag | ILU "
-                        "| None (arpackmm --slvItrPC)")
+                   help="iterative mode-solver preconditioner: Diag | "
+                        "ILU[#dropTol#fillFactor] | None (arpackmm "
+                        "--slvItrPC, ILU#D#F form incl. drop tolerance "
+                        "and fill factor)")
+    p.add_argument("--slvDrtPivot", type=float, default=1e-6,
+                   help="direct mode-solver pivot/rank threshold "
+                        "(LU sparse diag pivot thresh / QR rank test; "
+                        "arpackmm --slvDrtPivot)")
+    p.add_argument("--slvDrtOffset", type=float, default=0.0,
+                   help="Cholesky-family offset: factor scale*S+offset*I "
+                        "(arpackmm --slvDrtOffset)")
+    p.add_argument("--slvDrtScale", type=float, default=1.0,
+                   help="Cholesky-family scale (arpackmm --slvDrtScale)")
     p.add_argument("--dense", action="store_true",
                    help="use dense operator storage")
     p.add_argument("--simplePrec", action="store_true",
@@ -116,24 +129,27 @@ def main(argv=None) -> int:
         sigma = 0.0
 
     # ---- build the operator ----
-    iterative = args.slv in ("CG", "BiCG")
-    if iterative and (sigma is not None or b_sp is not None):
-        # Iterative mode solvers, standard AND generalized (arpackmm
-        # supports gen+iterative through its Eigen CG/BiCG solvers,
-        # arpackmm.cpp:445-476).  All matvecs share one unpermuted device
-        # format so A, M and the shifted system act in the same
-        # coordinates.
+    slv = args.slv
+    iterative = slv in ("CG", "BiCG")
+    direct_kinds = ("LU", "QR", "LLT", "LDLT")
+    if not iterative and slv.upper() not in direct_kinds:
+        raise SystemExit(f"unknown --slv {slv!r}: expected "
+                         f"{' | '.join(direct_kinds + ('CG', 'BiCG'))}")
+    # ILU#D#F form: drop tolerance + fill factor (arpackmm.cpp:476-480)
+    pc_parts = args.slvItrPC.split("#")
+    pc_name = pc_parts[0].lower()
+    ilu_drop = float(pc_parts[1]) if len(pc_parts) > 1 else 0.0
+    ilu_fill = float(pc_parts[2]) if len(pc_parts) > 2 else 1.0
+
+    if sigma is not None or b_sp is not None:
+        # Mode > 1 needs a mode solver (arpackmm "--slv S: solver
+        # (needed if arpack mode > 1)").  All matvecs share one
+        # unpermuted device format so A, M and the shifted system act in
+        # the same coordinates.
         from .config import pad_dim
         from .ops import sparse as sparse_mod
         from .ops.operator import Operator
 
-        if np.iscomplexobj(np.asarray(sigma)) and \
-                np.asarray(sigma).imag != 0 and \
-                not np.issubdtype(np.dtype(dtype), np.complexfloating):
-            raise SystemExit(
-                "complex shift on a real problem with an iterative mode "
-                "solver is not supported; use --slv LU (realified direct "
-                "solve) or --cpxPb")
         n = a_sp.shape[0]
         n_pad = pad_dim(n)
 
@@ -147,37 +163,71 @@ def main(argv=None) -> int:
         m_mv = _mv(b_sp) if b_sp is not None else None
 
         def _precond_for(mat):
-            pc = args.slvItrPC.lower()
-            if pc == "ilu":
+            if pc_name == "ilu":
                 return slv_mod.ilu0_preconditioner(
                     mat, dtype=dtype, n_pad=n_pad,
-                    symmetric=(args.slv == "CG"))
-            if pc == "diag":
+                    symmetric=(slv == "CG"),
+                    drop_tol=ilu_drop, fill_factor=ilu_fill)
+            if pc_name == "diag":
                 d = np.ones(n_pad, dtype)
                 d[:n] = np.asarray(mat.diagonal()).astype(dtype)
                 import jax.numpy as jnp
                 return slv_mod.jacobi_preconditioner(jnp.asarray(d))
             return None
 
-        if sigma is not None:
+        def _direct_solve(mat):
+            """Explicit-inverse direct mode solver (LU|QR|LLT|LDLT):
+            one host factorization, device GEMM per application."""
+            import jax.numpy as jnp
+            inv = slv_mod.make_direct_inverse(
+                mat, slv, pivot=args.slvDrtPivot,
+                offset=args.slvDrtOffset, scale=args.slvDrtScale,
+                n_pad=n_pad).astype(dtype)
+            inv_dev = jnp.asarray(inv)
+            return lambda v: inv_dev @ v
+
+        cplx_shift_real_pb = (
+            sigma is not None
+            and np.asarray(sigma).imag != 0
+            and not np.issubdtype(np.dtype(dtype), np.complexfloating))
+        if iterative and cplx_shift_real_pb:
+            raise SystemExit(
+                "complex shift on a real problem with an iterative mode "
+                "solver is not supported; use a direct --slv (realified "
+                "solve) or --cpxPb")
+        if cplx_shift_real_pb:
+            # realified direct solve path (dndrv5/6 class): delegate to
+            # the transform builder, which solves the complexified
+            # system and takes Re/Im parts (modes 3/4)
+            build = transforms.build_sym_operator if sym \
+                else transforms.build_nonsym_operator
+            op = build(a_sp, M=b_sp, sigma=sigma, dtype=dtype)
+        elif sigma is not None:
             import scipy.sparse as _sp
             sig = np.dtype(dtype).type(sigma.real if not np.issubdtype(
                 np.dtype(dtype), np.complexfloating) else sigma)
             shifted_mat = (a_sp - sig * b_sp) if b_sp is not None \
                 else (a_sp - sig * _sp.eye(n, dtype=dtype, format="csr"))
-            shifted = (lambda v: a_mv(v) - sig * m_mv(v)) if b_sp is not None \
-                else (lambda v: a_mv(v) - sig * v)
-            solve = slv_mod.make_iterative_solve(
-                shifted, symmetric=(args.slv == "CG"), tol=args.slvTol,
-                maxiter=args.slvMaxIt, precond=_precond_for(shifted_mat))
+            if iterative:
+                shifted = (lambda v: a_mv(v) - sig * m_mv(v)) \
+                    if b_sp is not None else (lambda v: a_mv(v) - sig * v)
+                solve = slv_mod.make_iterative_solve(
+                    shifted, symmetric=(slv == "CG"), tol=args.slvTol,
+                    maxiter=args.slvMaxIt,
+                    precond=_precond_for(shifted_mat))
+            else:
+                solve = _direct_solve(shifted_mat)
             op = transforms.shift_invert_operator(
                 n, dtype, solve, sigma=sigma, mode=3, n_pad=n_pad,
                 hermitian=sym, a_apply=a_mv, m_apply=m_mv)
         else:
-            # mode 2: OP = inv(M) A via iterative M-solves (M SPD -> CG)
-            solve_m = slv_mod.make_iterative_solve(
-                m_mv, symmetric=(args.slv == "CG"), tol=args.slvTol,
-                maxiter=args.slvMaxIt, precond=_precond_for(b_sp))
+            # mode 2: OP = inv(M) A (M SPD: CG / LLT are natural here)
+            if iterative:
+                solve_m = slv_mod.make_iterative_solve(
+                    m_mv, symmetric=(slv == "CG"), tol=args.slvTol,
+                    maxiter=args.slvMaxIt, precond=_precond_for(b_sp))
+            else:
+                solve_m = _direct_solve(b_sp)
 
             def apply(v, bv, _a=a_mv, _s=solve_m):
                 av = _a(v)
@@ -186,10 +236,6 @@ def main(argv=None) -> int:
             op = Operator(n=n, dtype=np.dtype(dtype), apply=apply,
                           bmat="G", mode=2, b_apply=m_mv, a_apply=a_mv,
                           m_apply=m_mv, n_pad=n_pad, hermitian=sym)
-    elif sigma is not None or b_sp is not None:
-        build = transforms.build_sym_operator if sym \
-            else transforms.build_nonsym_operator
-        op = build(a_sp, M=b_sp, sigma=sigma, dtype=dtype)
     else:
         if args.dense:
             from .ops.operator import from_dense

@@ -132,8 +132,104 @@ def _padded_diag(a_sp, n_pad):
         d = np.concatenate([d, np.ones(n_pad - d.shape[0], d.dtype)])
     return jnp.asarray(d)
 
+def make_direct_inverse(mat, kind: str, *, pivot: float = 1e-6,
+                        offset: float = 0.0, scale: float = 1.0,
+                        n_pad: int = 0):
+    """Host direct factorization -> explicit identity-padded inverse,
+    to be applied on device as one GEMM (the TPU-idiomatic realization
+    of a direct mode solver: the O(n^3) factor+invert runs once on the
+    host, every application is an MXU matmul).
+
+    The ``kind`` menu mirrors arpackSolver's Eigen direct solvers
+    (arpackmm.cpp:445-463, arpackSolver.hpp:1030-1130):
+
+    * ``LU``   — partial-pivoting LU (sparse inputs use SuperLU with
+                 ``diag_pivot_thresh=pivot``, the setPivotThreshold analog,
+                 arpackSolver.hpp:1055).
+    * ``QR``   — column-pivoted Householder QR; ``pivot`` is the
+                 rank-deficiency threshold on |diag(R)|
+                 (ColPivHouseholderQR::setThreshold, arpackSolver.hpp:1110).
+    * ``LLT``  — Cholesky, SPD matrices only (raises otherwise, like
+                 Eigen::SimplicialLLT info() != Success).
+    * ``LDLT`` — Bunch-Kaufman symmetric-indefinite LDL^T (LAPACK sysv,
+                 the semidefinite-capable variant).
+
+    ``offset``/``scale`` apply to the Cholesky-family factorizations as
+    ``scale*S + offset*I`` (Eigen setShift semantics,
+    arpackSolver.hpp:1071-1079)."""
+    import numpy as np
+    import scipy.linalg as sla
+    import scipy.sparse as sp
+
+    from .operator import _pad_mat_identity
+
+    kind = kind.upper()
+    is_sparse = sp.issparse(mat)
+    n = mat.shape[0]
+    n_pad = n_pad or n
+    if kind in ("LLT", "LDLT") and (offset != 0.0 or scale != 1.0):
+        eye = sp.eye(n, dtype=mat.dtype, format="csr") if is_sparse \
+            else np.eye(n, dtype=mat.dtype)
+        mat = scale * mat + offset * eye
+    if kind == "LU" and is_sparse and n > 256:
+        import scipy.sparse.linalg as spla
+        a = sp.csc_matrix(mat)
+        if np.issubdtype(a.dtype, np.floating) and a.dtype != np.float64:
+            a = a.astype(np.float64)
+        if np.issubdtype(a.dtype, np.complexfloating) \
+                and a.dtype != np.complex128:
+            a = a.astype(np.complex128)
+        lu = spla.splu(a, diag_pivot_thresh=pivot)
+        inv_n = lu.solve(np.eye(n, dtype=a.dtype)).astype(mat.dtype)
+        inv = np.eye(n_pad, dtype=mat.dtype)
+        inv[:n, :n] = inv_n
+    else:
+        m = _pad_mat_identity(mat.toarray() if is_sparse
+                              else np.asarray(mat), n_pad)
+        eye = np.eye(n_pad, dtype=m.dtype)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            if kind == "LU":
+                lu, piv = sla.lu_factor(m)
+                inv = sla.lu_solve((lu, piv), eye)
+            elif kind == "QR":
+                q, r, p = sla.qr(m, pivoting=True)
+                dr = np.abs(np.diag(r))
+                if dr.min() <= pivot * max(dr.max(), 1e-300):
+                    raise ValueError(
+                        f"QR: matrix numerically rank-deficient at pivot "
+                        f"threshold {pivot} (min|R_ii|/max|R_ii| = "
+                        f"{dr.min() / dr.max():.2e})")
+                x = sla.solve_triangular(r, q.conj().T, lower=False)
+                inv = np.empty_like(x)
+                inv[p, :] = x
+            elif kind == "LLT":
+                try:
+                    c = sla.cho_factor(m, lower=True)
+                except np.linalg.LinAlgError as e:
+                    raise ValueError(
+                        "LLT requires an SPD matrix (Cholesky failed: "
+                        f"{e}); use LDLT or LU") from e
+                inv = sla.cho_solve(c, eye)
+            elif kind == "LDLT":
+                herm = np.iscomplexobj(m)
+                inv = sla.solve(m, eye, assume_a="her" if herm else "sym")
+            else:
+                raise ValueError(
+                    f"unknown direct solver kind {kind!r}; expected "
+                    "LU | QR | LLT | LDLT")
+    if not np.all(np.isfinite(inv)):
+        raise ValueError(
+            f"{kind}: factored matrix is numerically singular (the shift "
+            "appears to be an eigenvalue); perturb sigma")
+    return inv
+
+
 def ilu0_preconditioner(a_sp, *, sweeps: int = 3, dtype=None,
-                        n_pad: int = 0, symmetric: bool = False) -> Callable:
+                        n_pad: int = 0, symmetric: bool = False,
+                        drop_tol: float = 0.0,
+                        fill_factor: float = 1.0) -> Callable:
     """ILU(0) preconditioner (arpackmm's ``ILU`` mode-solver option,
     arpackmm.cpp:445-476) with fully device-resident application.
 
@@ -180,7 +276,10 @@ def ilu0_preconditioner(a_sp, *, sweeps: int = 3, dtype=None,
     if np.issubdtype(A.dtype, np.floating) and A.dtype != np.float64:
         A = A.astype(np.float64)          # SuperLU wants d/z
     try:
-        ilu = spla.spilu(A, drop_tol=0.0, fill_factor=1.0,
+        # drop_tol/fill_factor expose the reference ILU#D#F knobs
+        # (IncompleteLUT setDroptol/setFillfactor, arpackSolver.hpp:
+        # 994-1006); the (0.0, 1.0) defaults give classic ILU(0)
+        ilu = spla.spilu(A, drop_tol=drop_tol, fill_factor=fill_factor,
                          permc_spec="NATURAL", diag_pivot_thresh=0.0)
     except RuntimeError as e:             # singular ILU pivot
         warnings.warn(f"ILU(0) factorization failed ({e}); "

@@ -82,7 +82,8 @@ class TestBug1323:
         # smallest eigenvalues of the 1-D Dirichlet Laplacian
         n = 64
         h = 1.0 / (n + 1)
-        exact = np.array([2.0 / h**2 * (1 - np.cos((j + 1) * np.pi * h))
+        # models.laplacian_1d is the unscaled stencil: lam = 2(1-cos(j pi h))
+        exact = np.array([2.0 * (1 - np.cos((j + 1) * np.pi * h))
                           for j in range(4)])
         assert np.allclose(np.sort(vals), np.sort(exact), rtol=1e-5)
 
