@@ -195,8 +195,7 @@ def eigsh(
         # (Simon 1984) — partial reorthogonalization is the default and
         # removes the dominant V-traffic term (docs/PERF.md round-2).
         reorth = "selective"
-    pro_active = (reorth == "selective" and op.bmat == "I"
-                  and restart == "implicit")
+    pro_active = (reorth == "selective" and restart == "implicit")
     storage_dtype = _resolve_storage(storage_dtype, op.dtype, tol,
                                      pro_active=pro_active)
     cfg = IRAMConfig(

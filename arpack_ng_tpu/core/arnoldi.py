@@ -186,16 +186,21 @@ def make_extend(op: Operator, cfg: IRAMConfig):
     rdt = _dt.real_dtype(dtype)
     is_g = op.bmat == "G"
     eta = jnp.asarray(_dt.DGKS_ETA, rdt)
-    # reorth='selective' switches the SYMMETRIC STANDARD path to
-    # partial-reorthogonalization Lanczos (three-term recurrence + omega
-    # tracking, see _step_pro below); everywhere else it has no effect and
-    # the reference's full-CGS + DGKS step runs unchanged.  (A relaxed
-    # DGKS *trigger* on the full-CGS step is unsound: the new column's
-    # defect is amplified through the existing basis defect ||Delta||*kappa
-    # per step, so it compounds geometrically — measured blowup within a
-    # few restart cycles.)
+    # reorth='selective' switches the SYMMETRIC path (standard AND
+    # generalized) to partial-reorthogonalization Lanczos (three-term
+    # recurrence + omega tracking, see _step_pro below); everywhere else it
+    # has no effect and the reference's full-CGS + DGKS step runs
+    # unchanged.  (A relaxed DGKS *trigger* on the full-CGS step is
+    # unsound: the new column's defect is amplified through the existing
+    # basis defect ||Delta||*kappa per step, so it compounds geometrically
+    # — measured blowup within a few restart cycles.)
+    # bmat='G': the recurrence/omega algebra is identical in the B-inner
+    # product (OP is B-self-adjoint for every symmetric mode 2-5); B@r is
+    # recomputed fresh each step exactly like dsaitr's ORTH1 B*r request
+    # (SRC/dsaitr.f:570-583 B-variant), so the per-step saving is the two
+    # V passes, not the B apply.
     use_pro = (cfg.reorth == "selective" and cfg.symmetric
-               and op.bmat == "I" and cfg.restart == "implicit")
+               and cfg.restart == "implicit")
     tiny = jnp.asarray(_dt.safmin(dtype), rdt)
     col_idx = jnp.arange(ncv)
 
@@ -532,9 +537,12 @@ def make_extend(op: Operator, cfg: IRAMConfig):
     # reorthogonalization of r (plus the following step, in pairs) only
     # when max omega exceeds tau ~ sqrt(eps): the basis then stays
     # SEMI-orthogonal, which provably preserves eps-level Ritz accuracy
-    # for Lanczos.  Applies to symmetric STANDARD problems (bmat='I',
-    # implicit restarts); the reference has no analog (dsaitr always pays
-    # the full-CGS traffic).
+    # for Lanczos.  Applies to symmetric problems under implicit restarts,
+    # standard AND generalized: for bmat='G' every inner product above is
+    # the B-inner product (omega_{j,i} = v_j^T B v_i), B@r is recomputed
+    # fresh per step (dsaitr ORTH1 semantics), and OP's B-self-adjointness
+    # makes the same three-term recurrence exact.  The reference has no
+    # analog (dsaitr always pays the full-CGS traffic).
     # noise floor: f32/f64 inner products accumulate ~sqrt(n)*eps rounding;
     # narrow (bf16) storage adds a per-element representation error eps(sdt)
     eps_eff = float(np.sqrt(float(n)) * _dt.eps(dtype) + _dt.eps(sdt))
@@ -580,13 +588,18 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             rnorm_prev = st.rnorm
             inv = (jnp.ones((), rdt) / jnp.maximum(st.rnorm, tiny)).astype(rdt)
             v_j = st.resid * inv
+            bv_j = st.b_resid * inv if is_g else v_j
             V = lax.dynamic_update_slice(st.V, v_j.astype(sdt)[None, :],
                                          (j, jnp.zeros((), j.dtype)))
-            w, _bw = op.apply(v_j, v_j)
-            counts = counts.add(nopx=jnp.int32(1))
-            wnorm = bnorm(w, w).astype(rdt)
-            # three-term recurrence (reads ONE stored row: v_{j-1})
-            alpha = jnp.real(jnp.vdot(v_j, w)).astype(rdt)
+            w, bw = op.apply(v_j, bv_j)
+            counts = counts.add(
+                nopx=jnp.int32(1),
+                nbx=jnp.int32(1 if (is_g and op.mode != 2) else 0))
+            wnorm = bnorm(w, bw).astype(rdt)
+            # three-term recurrence (reads ONE stored row: v_{j-1});
+            # alpha = <v_j, B w> — bw plays B@w in every inner product
+            # (mode 2 returns bw = A v = M w, same value)
+            alpha = jnp.real(jnp.vdot(v_j, bw)).astype(rdt)
             beta_prev = jnp.where(rstart | (j == 0), jnp.zeros((), rdt),
                                   rnorm_prev)
             v_jm1 = lax.dynamic_index_in_dim(
@@ -594,7 +607,9 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             ).astype(dtype)
             r = (w - alpha.astype(dtype) * v_j
                  - beta_prev.astype(dtype) * v_jm1)
-            rnorm = bnorm(r, r).astype(rdt)
+            br = b_apply(r)
+            counts = counts.add(nbx=nbx1)
+            rnorm = bnorm(r, br).astype(rdt)
             # H: tridiagonal writes only
             H = st.H.at[j, j].set(alpha.astype(dtype))
             H = lax.cond(
@@ -614,41 +629,47 @@ def make_extend(op: Operator, cfg: IRAMConfig):
                 nrorth=jnp.where(need, 1, 0).astype(jnp.int32))
 
             def run_reorth(args):
-                r, rnorm = args
+                r, br, rnorm = args
                 out = lax.while_loop(
                     dgks_cond_pro, dgks_body_pro,
-                    (r, rnorm, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
-                r, rn, passes, nfail, status = out
+                    (r, br, rnorm, jnp.int32(0), jnp.int32(0),
+                     jnp.int32(0)))
+                r, br, rn, passes, nfail, status = out
                 in_span = status == 2
                 r = jnp.where(in_span, jnp.zeros_like(r), r)
+                br = jnp.where(in_span, jnp.zeros_like(br), br)
                 rn = jnp.where(in_span, jnp.zeros_like(rn), rn)
-                return r, rn, nfail
+                return r, br, rn, nfail, passes
 
             def dgks_cond_pro(c):
-                return c[4] == 0
+                return c[5] == 0
 
             def dgks_body_pro(c):
-                r, rn_prev, passes, nfail, _ = c
+                r, br, rn_prev, passes, nfail, _ = c
                 nmask_le = col_idx <= j
-                s = jnp.where(nmask_le, _proj_upto(V, r, j),
+                # project with B r (identity for bmat='I'): the full
+                # bucketed CGS pass in the B-inner product
+                s = jnp.where(nmask_le, _proj_upto(V, br, j),
                               jnp.zeros((), dtype))
                 r = _update_upto(r, s, V, j)
-                rn = bnorm(r, r).astype(rdt)
+                br = b_apply(r)
+                rn = bnorm(r, br).astype(rdt)
                 accept = rn > eta * rn_prev
                 give_up = (~accept) & (passes + 1 >= _MAX_DGKS_PASSES)
                 status = jnp.where(accept, jnp.int32(1),
                                    jnp.where(give_up, jnp.int32(2),
                                              jnp.int32(0)))
                 nfail = nfail + jnp.where(accept, 0, 1).astype(jnp.int32)
-                return (r, rn, passes + 1, nfail, status)
+                return (r, br, rn, passes + 1, nfail, status)
 
             def skip_reorth(args):
-                r, rnorm = args
-                return r, rnorm, jnp.int32(0)
+                r, br, rnorm = args
+                return r, br, rnorm, jnp.int32(0), jnp.int32(0)
 
-            r, rnorm, nfail = lax.cond(need, run_reorth, skip_reorth,
-                                       (r, rnorm))
-            counts = counts.add(nitref=nfail)
+            r, br, rnorm, nfail, rpasses = lax.cond(
+                need, run_reorth, skip_reorth, (r, br, rnorm))
+            counts = counts.add(nitref=nfail,
+                                nbx=(rpasses * nbx1).astype(jnp.int32))
             # post-event omega: the refreshed vector is clean against all
             # of V; reorthogonalize the NEXT step too (pair rule: both
             # carriers of the three-term recurrence must be clean before
@@ -657,7 +678,7 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             wn = jnp.where(need, jnp.full((ncv,), eps1, rdt), wn)
             force_out = jnp.where(need & (force == 0), jnp.int32(1),
                                   jnp.int32(0))
-            st = st._replace(V=V, H=H, resid=r, b_resid=r, rnorm=rnorm,
+            st = st._replace(V=V, H=H, resid=r, b_resid=br, rnorm=rnorm,
                              k=j + 1, counts=counts)
             return st, wc, wn, force_out
 
