@@ -41,6 +41,28 @@ def _np_from_buffer(buf, dtype, count=None):
     return a if count is None else a[:count]
 
 
+def _ensure_platform():
+    """Honor $JAX_PLATFORMS even though an embedding host (or this
+    image's sitecustomize) may have pre-imported jax already."""
+    import os
+
+    import jax
+
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat.split(",")[0])
+        except Exception:
+            pass
+    return jax
+
+
+def device_count() -> int:
+    """The MPI_Comm_size analog for the C ABI (atpu_device_count)."""
+    jax = _ensure_platform()
+    return len(jax.devices())
+
+
 def solve(options: str, buf_a=None, buf_p=None, buf_i=None, buf_v=None,
           buf_m=None, buf_mp=None, buf_mi=None, buf_mv=None):
     """Run one eigensolve.  Returns a dict of plain-Python/bytes values.
@@ -58,20 +80,11 @@ def solve(options: str, buf_a=None, buf_p=None, buf_i=None, buf_v=None,
     flattened: C sees two parallel arrays).
     """
     global _last_stats, _last_sym, _last_complex
-    import os
-
-    import jax
-
-    plat = os.environ.get("JAX_PLATFORMS", "")
-    if plat:
-        # honor the env even though an embedding host (or this image's
-        # sitecustomize) may have registered a backend already
-        try:
-            jax.config.update("jax_platforms", plat.split(",")[0])
-        except Exception:
-            pass
+    jax = _ensure_platform()
 
     opt = json.loads(options)
+    iwidth = int(opt.get("iwidth", 64))
+    idt = np.int32 if iwidth == 32 else np.int64
     dt = np.dtype(_DTYPES[opt["dtype"]])
     rdt = np.float32 if dt.itemsize == 4 or dt == np.complex64 else \
         np.float64
@@ -95,8 +108,8 @@ def solve(options: str, buf_a=None, buf_p=None, buf_i=None, buf_v=None,
         a = _np_from_buffer(buf_a, dt, n * n).reshape(n, n).copy()
         a_in = a
     else:
-        indptr = _np_from_buffer(buf_p, np.int64, n + 1)
-        indices = _np_from_buffer(buf_i, np.int64)
+        indptr = _np_from_buffer(buf_p, idt, n + 1)
+        indices = _np_from_buffer(buf_i, idt)
         data = _np_from_buffer(buf_v, dt)
         a_in = sp.csr_matrix(
             (data.copy(), indices.astype(np.int64).copy(),
@@ -105,11 +118,12 @@ def solve(options: str, buf_a=None, buf_p=None, buf_i=None, buf_v=None,
     if buf_m is not None:
         m_in = _np_from_buffer(buf_m, dt, n * n).reshape(n, n).copy()
     elif buf_mp is not None:
-        mp = _np_from_buffer(buf_mp, np.int64, n + 1)
-        mi = _np_from_buffer(buf_mi, np.int64)
+        mp = _np_from_buffer(buf_mp, idt, n + 1)
+        mi = _np_from_buffer(buf_mi, idt)
         mv = _np_from_buffer(buf_mv, dt)
-        m_in = sp.csr_matrix((mv.copy(), mi.copy(), mp.copy()),
-                             shape=(n, n))
+        m_in = sp.csr_matrix((mv.astype(dt).copy(),
+                              mi.astype(np.int64).copy(),
+                              mp.astype(np.int64).copy()), shape=(n, n))
 
     sigma = None
     if opt.get("has_sigma"):
@@ -132,14 +146,37 @@ def solve(options: str, buf_a=None, buf_p=None, buf_i=None, buf_v=None,
     ncv = int(opt.get("ncv", 0)) or default_ncv(n, k, sym)
     maxiter = int(opt.get("maxiter", 0)) or max(10 * n, 300)
 
+    # ---- mesh (the parpack comm argument, ICB/parpack.h:10-39) ----
+    # n_devices: 1 = sequential, 0 = all visible devices, k = first k.
+    n_devices = int(opt.get("n_devices", 1))
+    mesh = None
+    if n_devices != 1:
+        import math
+
+        from .parallel.sharding import make_mesh
+        avail = len(jax.devices())
+        if n_devices == 0:
+            n_devices = avail
+        if n_devices < 0 or n_devices > avail:
+            return {"info": -9998, "nconv": 0}
+        mesh = make_mesh(n_devices)
+    # row partition requires n_pad % n_devices == 0 (and 128-lane tiles)
+    pad_mult = 128 if mesh is None else \
+        128 * n_devices // math.gcd(128, n_devices)
+
+    from .config import pad_dim
+    n_pad = pad_dim(n, pad_mult)
     if sigma is not None or m_in is not None:
         build = transforms.build_sym_operator if sym \
             else transforms.build_nonsym_operator
-        op = build(a_in, M=m_in, sigma=sigma, dtype=dt)
+        op = build(a_in, M=m_in, sigma=sigma, dtype=dt,
+                   n_pad=n_pad if mesh is not None else 0)
     elif sp.issparse(a_in):
-        op = from_scipy(a_in, hermitian=sym)
+        op = from_scipy(a_in, hermitian=sym,
+                        n_pad=n_pad if mesh is not None else 0)
     else:
-        op = from_dense(a_in, hermitian=sym)
+        op = from_dense(a_in, hermitian=sym,
+                        n_pad=n_pad if mesh is not None else 0)
 
     try:
         cfg = IRAMConfig(n=op.n, nev=k, ncv=min(ncv, op.n), which=which,
@@ -153,7 +190,7 @@ def solve(options: str, buf_a=None, buf_p=None, buf_i=None, buf_v=None,
         import re
         m = re.search(r"info\s*=\s*(-\d+)", str(e))
         return {"info": int(m.group(1)) if m else -9999, "nconv": 0}
-    solver = IRAMSolver(op, cfg)
+    solver = IRAMSolver(op, cfg, mesh=mesh)
 
     state = None
     v0 = None

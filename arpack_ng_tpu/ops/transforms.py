@@ -126,9 +126,11 @@ def shift_invert_operator(
 
 
 def build_sym_operator(A, M=None, sigma=None, mode: str = "normal",
-                       dtype=None) -> Operator:
+                       dtype=None, n_pad: int = 0) -> Operator:
     """Dense/sparse convenience builder for the symmetric drivers
-    (the dsdrv1-6 example family)."""
+    (the dsdrv1-6 example family).  ``n_pad`` overrides the default
+    128-lane padding (mesh-partitioned solves need n_pad divisible by
+    the device count — the PARPACK nloc convention, pdsdrv1.f:178-179)."""
     if isinstance(A, Operator):
         if sigma is None and M is None:
             return A
@@ -139,7 +141,7 @@ def build_sym_operator(A, M=None, sigma=None, mode: str = "normal",
     if dtype is not None:
         a = a.astype(dtype)
     n = a.shape[0]
-    n_pad = pad_dim(n)
+    n_pad = n_pad or pad_dim(n)
     m = _coerce_dense(M).astype(a.dtype) if M is not None else None
 
     if sigma is None:
@@ -169,12 +171,13 @@ def build_sym_operator(A, M=None, sigma=None, mode: str = "normal",
 
 
 def build_nonsym_operator(A, M=None, sigma=None, dtype=None,
-                          part: str = "real") -> Operator:
+                          part: str = "real", n_pad: int = 0) -> Operator:
     """Dense/sparse convenience builder for the non-symmetric/complex
     drivers (dndrv1-6 / zndrv1-4 families).
 
     ``part`` selects mode 3 (real part) vs mode 4 (imaginary part) when
-    sigma is complex but the problem dtype is real (dndrv5/dndrv6)."""
+    sigma is complex but the problem dtype is real (dndrv5/dndrv6).
+    ``n_pad`` as in :func:`build_sym_operator`."""
     if isinstance(A, Operator):
         if sigma is None and M is None:
             return A
@@ -185,7 +188,7 @@ def build_nonsym_operator(A, M=None, sigma=None, dtype=None,
     if dtype is not None:
         a = a.astype(dtype)
     n = a.shape[0]
-    n_pad = pad_dim(n)
+    n_pad = n_pad or pad_dim(n)
     m = _coerce_dense(M).astype(a.dtype) if M is not None else None
 
     if sigma is None:

@@ -3,8 +3,12 @@
  * a stable C interface over the numerical core, here covering the
  * replicated NCV-sized host subproblem that partners the TPU device code).
  *
- * All matrices are row-major.  Integer type is a fixed 64-bit index
- * (the reference's INTERFACE64/a_int switch collapses to one width).
+ * All matrices are row-major.  Integer width follows the reference's
+ * INTERFACE64/a_int switch (arpackdef.h.in:6-44): 64-bit by default
+ * (the superset; the reference defaults to 32), compile with
+ * -DATPU_INTERFACE64=0 for a 32-bit `atpu_int` ABI.  The width is
+ * baked into the library at build time exactly like libarpackILP64 vs
+ * libarpack — client and library must agree.
  */
 #ifndef ARPACK_TPU_H
 #define ARPACK_TPU_H
@@ -15,7 +19,15 @@
 extern "C" {
 #endif
 
+#ifndef ATPU_INTERFACE64
+#define ATPU_INTERFACE64 1
+#endif
+
+#if ATPU_INTERFACE64
 typedef int64_t atpu_int;
+#else
+typedef int32_t atpu_int;
+#endif
 
 /* Library version (reference: arpackdef.h.in / CMake version fields). */
 const char *atpu_version(void);

@@ -136,6 +136,57 @@ inline atpu_int eigs(atpu_int n, const std::complex<float> *a,
       reinterpret_cast<float *>(evecs), nconv);
 }
 
+/* ---- distributed overloads (the ICB/parpack.hpp analog) ------------------
+ * Mesh size first, mirroring parpack's comm-first convention
+ * (ICB/parpack.hpp / icbpdn.F90:3-13): 0 = whole visible device set,
+ * k = first k devices.  device_count() is the MPI_Comm_size analog. */
+
+inline atpu_int device_count() { return atpu_device_count(); }
+
+inline atpu_int eigsh(atpu_int n_devices, atpu_int n, const double *a,
+                      const double *m, atpu_int nev, double *evals,
+                      double *evecs, atpu_int *nconv,
+                      const options &o = {}) {
+  return atpu_peigsh_dense_d(n_devices, n, a, m, nev, to_c(o.w),
+                             o.sigma_re, o.shift_invert ? 1 : 0, o.tol,
+                             o.ncv, o.max_iter, evals, evecs, nconv);
+}
+
+inline atpu_int eigsh(atpu_int n_devices, atpu_int n, const float *a,
+                      const float *m, atpu_int nev, float *evals,
+                      float *evecs, atpu_int *nconv,
+                      const options &o = {}) {
+  return atpu_peigsh_dense_s(n_devices, n, a, m, nev, to_c(o.w),
+                             o.sigma_re, o.shift_invert ? 1 : 0, o.tol,
+                             o.ncv, o.max_iter, evals, evecs, nconv);
+}
+
+inline atpu_int eigs(atpu_int n_devices, atpu_int n, const double *a,
+                     const double *m, atpu_int nev, double *evals_re,
+                     double *evals_im, double *evecs_re, double *evecs_im,
+                     atpu_int *nconv, const options &o = {}) {
+  return atpu_peigs_dense_d(
+      n_devices, n, a, m, nev, to_c(o.w), o.sigma_re,
+      o.shift_invert ? 1 : 0, o.tol, o.ncv, o.max_iter,
+      o.vectors == howmny::schur_vectors ? 1 : 0,
+      evals_re, evals_im, evecs_re, evecs_im, nconv);
+}
+
+inline atpu_int eigs(atpu_int n_devices, atpu_int n,
+                     const std::complex<double> *a,
+                     const std::complex<double> *m, atpu_int nev,
+                     std::complex<double> *evals,
+                     std::complex<double> *evecs, atpu_int *nconv,
+                     const options &o = {}) {
+  return atpu_peigs_dense_z(
+      n_devices, n, reinterpret_cast<const double *>(a),
+      reinterpret_cast<const double *>(m), nev, to_c(o.w), o.sigma_re,
+      o.sigma_im, o.shift_invert ? 1 : 0, o.tol, o.ncv, o.max_iter,
+      o.vectors == howmny::schur_vectors ? 1 : 0,
+      reinterpret_cast<double *>(evals),
+      reinterpret_cast<double *>(evecs), nconv);
+}
+
 }  // namespace arpack_tpu
 
 #endif /* ARPACK_TPU_HPP */

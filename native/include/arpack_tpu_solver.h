@@ -108,6 +108,100 @@ atpu_int atpu_eigs_csr_z(atpu_int n, const atpu_int *indptr,
                          int schur, double *evals, double *evecs,
                          atpu_int *nconv);
 
+/* ---- distributed entry points (the ICB/parpack.h analog) -----------------
+ * The reference's parallel ICB threads an explicit MPI communicator
+ * through every driver (ICB/parpack.h:10-39, icbpdn.F90:3-13:
+ * `pdnaupd_c(MPI_Fint comm, ...)`).  The TPU-native communicator is a
+ * device mesh; these `atpu_p*` variants take its size as the FIRST
+ * argument, mirroring the comm-first convention:
+ *   n_devices = 1  -> single-device (same as the unprefixed entry)
+ *   n_devices = 0  -> the whole visible device set (MPI_COMM_WORLD analog)
+ *   n_devices = k  -> first k visible devices (MPI_Comm_split analog, the
+ *                     issue46 sub-communicator pattern)
+ * The solve is row-partitioned over the mesh with replicated NCV-space,
+ * exactly the PARPACK data distribution (SRC/dsaupd.f:331-348).
+ * atpu_device_count() reports the visible device count (the
+ * MPI_Comm_size analog).  Requesting more devices than visible fails
+ * with -9998 (the untestable-ambient-default failure the explicit
+ * argument exists to prevent). */
+
+atpu_int atpu_device_count(void);
+
+atpu_int atpu_peigsh_dense_d(atpu_int n_devices, atpu_int n,
+                             const double *a, const double *m,
+                             atpu_int nev, const char *which, double sigma,
+                             int has_sigma, double tol, atpu_int ncv,
+                             atpu_int max_iter, double *evals,
+                             double *evecs, atpu_int *nconv);
+
+atpu_int atpu_peigsh_dense_s(atpu_int n_devices, atpu_int n,
+                             const float *a, const float *m,
+                             atpu_int nev, const char *which, double sigma,
+                             int has_sigma, double tol, atpu_int ncv,
+                             atpu_int max_iter, float *evals,
+                             float *evecs, atpu_int *nconv);
+
+atpu_int atpu_peigsh_csr_d(atpu_int n_devices, atpu_int n,
+                           const atpu_int *indptr, const atpu_int *indices,
+                           const double *data, atpu_int nnz, atpu_int nev,
+                           const char *which, double tol, atpu_int ncv,
+                           atpu_int max_iter, double *evals, double *evecs,
+                           atpu_int *nconv);
+
+atpu_int atpu_peigsh_csr_s(atpu_int n_devices, atpu_int n,
+                           const atpu_int *indptr, const atpu_int *indices,
+                           const float *data, atpu_int nnz, atpu_int nev,
+                           const char *which, double tol, atpu_int ncv,
+                           atpu_int max_iter, float *evals, float *evecs,
+                           atpu_int *nconv);
+
+atpu_int atpu_peigs_dense_d(atpu_int n_devices, atpu_int n,
+                            const double *a, const double *m,
+                            atpu_int nev, const char *which, double sigma,
+                            int has_sigma, double tol, atpu_int ncv,
+                            atpu_int max_iter, int schur, double *evals_re,
+                            double *evals_im, double *evecs_re,
+                            double *evecs_im, atpu_int *nconv);
+
+atpu_int atpu_peigs_dense_s(atpu_int n_devices, atpu_int n,
+                            const float *a, const float *m,
+                            atpu_int nev, const char *which, double sigma,
+                            int has_sigma, double tol, atpu_int ncv,
+                            atpu_int max_iter, int schur, float *evals_re,
+                            float *evals_im, float *evecs_re,
+                            float *evecs_im, atpu_int *nconv);
+
+atpu_int atpu_peigs_csr_d(atpu_int n_devices, atpu_int n,
+                          const atpu_int *indptr, const atpu_int *indices,
+                          const double *data, atpu_int nnz, atpu_int nev,
+                          const char *which, double tol, atpu_int ncv,
+                          atpu_int max_iter, int schur, double *evals_re,
+                          double *evals_im, double *evecs_re,
+                          double *evecs_im, atpu_int *nconv);
+
+atpu_int atpu_peigs_dense_z(atpu_int n_devices, atpu_int n,
+                            const double *a, const double *m,
+                            atpu_int nev, const char *which,
+                            double sigma_re, double sigma_im, int has_sigma,
+                            double tol, atpu_int ncv, atpu_int max_iter,
+                            int schur, double *evals, double *evecs,
+                            atpu_int *nconv);
+
+atpu_int atpu_peigs_dense_c(atpu_int n_devices, atpu_int n,
+                            const float *a, const float *m,
+                            atpu_int nev, const char *which,
+                            double sigma_re, double sigma_im, int has_sigma,
+                            double tol, atpu_int ncv, atpu_int max_iter,
+                            int schur, float *evals, float *evecs,
+                            atpu_int *nconv);
+
+atpu_int atpu_peigs_csr_z(atpu_int n_devices, atpu_int n,
+                          const atpu_int *indptr, const atpu_int *indices,
+                          const double *data, atpu_int nnz, atpu_int nev,
+                          const char *which, double tol, atpu_int ncv,
+                          atpu_int max_iter, int schur, double *evals,
+                          double *evecs, atpu_int *nconv);
+
 /* ---- stat/debug control -------------------------------------------------
  * atpu_stat_c mirrors stat_c() (ICB/stat_c.h:12-16): 5 op counters + 26
  * per-phase timer slots.  The dtype-parametric engine fills the slot

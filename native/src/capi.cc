@@ -131,7 +131,9 @@ void interleave(PyObject *dict, const char *rkey, const char *ikey,
 }
 
 // The generic solve runner.  Real dtypes write split re/im outputs;
-// complex dtypes write interleaved outputs.
+// complex dtypes write interleaved outputs.  n_devices follows the
+// parpack comm argument semantics (see arpack_tpu_solver.h): 1 =
+// sequential, 0 = whole visible device set, k = first k devices.
 atpu_int run_solve(char dtype, int symmetric, int schur, atpu_int n,
                    const void *dense_a, const atpu_int *indptr,
                    const atpu_int *indices, const void *data, atpu_int nnz,
@@ -139,7 +141,8 @@ atpu_int run_solve(char dtype, int symmetric, int schur, atpu_int n,
                    double sigma_re, double sigma_im, int has_sigma,
                    double tol, atpu_int ncv, atpu_int max_iter,
                    void *evals_re, void *evals_im, void *evecs_re,
-                   void *evecs_im, atpu_int *nconv_out) {
+                   void *evecs_im, atpu_int *nconv_out,
+                   atpu_int n_devices = 1) {
   std::lock_guard<std::mutex> lk(g_mu);
   if (!ensure_python()) return -9999;
   if (!which || std::strlen(which) != 2 || !json_safe(which)) return -5;
@@ -152,13 +155,15 @@ atpu_int run_solve(char dtype, int symmetric, int schur, atpu_int n,
         "{\"dtype\":\"%c\",\"symmetric\":%s,\"schur\":%s,\"n\":%lld,"
         "\"k\":%lld,\"which\":\"%s\",\"ncv\":%lld,\"maxiter\":%lld,"
         "\"tol\":%.17g,\"sigma_re\":%.17g,\"sigma_im\":%.17g,"
-        "\"has_sigma\":%s,\"rvec\":%s,\"dump\":\"%s\",\"restart\":\"%s\"}",
+        "\"has_sigma\":%s,\"rvec\":%s,\"dump\":\"%s\",\"restart\":\"%s\","
+        "\"n_devices\":%lld,\"iwidth\":%d}",
         dtype, symmetric ? "true" : "false", schur ? "true" : "false",
         static_cast<long long>(n), static_cast<long long>(nev), which,
         static_cast<long long>(ncv), static_cast<long long>(max_iter), tol,
         sigma_re, sigma_im, has_sigma ? "true" : "false",
         (evecs_re != nullptr) ? "true" : "false", g_dump.c_str(),
-        g_restart.c_str());
+        g_restart.c_str(), static_cast<long long>(n_devices),
+        static_cast<int>(sizeof(atpu_int) * 8));
     g_dump.clear();
     g_restart.clear();
 
@@ -331,6 +336,136 @@ atpu_int atpu_eigs_csr_z(atpu_int n, const atpu_int *indptr,
   return run_solve('z', 0, schur, n, nullptr, indptr, indices, data, nnz,
                    nullptr, nev, which, 0.0, 0.0, 0, tol, ncv, max_iter,
                    evals, nullptr, evecs, nullptr, nconv);
+}
+
+/* ---- distributed entry points (ICB/parpack.h:10-39 analog) --------------
+ * The mesh size is the communicator: threaded per call, exactly like
+ * pdsaupd_c's MPI_Fint comm (PARPACK/SRC/MPI/icbpdn.F90:3-13). */
+
+atpu_int atpu_device_count(void) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  if (!ensure_python()) return -1;
+  PyGILState_STATE gil = PyGILState_Ensure();
+  atpu_int count = -1;
+  PyObject *fn = bridge_attr("device_count");
+  if (fn) {
+    PyObject *r = PyObject_CallFunctionObjArgs(fn, nullptr);
+    if (r) count = PyLong_AsLongLong(r);
+    else PyErr_Print();
+    Py_XDECREF(r);
+    Py_DECREF(fn);
+  }
+  PyGILState_Release(gil);
+  return count;
+}
+
+atpu_int atpu_peigsh_dense_d(atpu_int nd, atpu_int n, const double *a,
+                             const double *m, atpu_int nev,
+                             const char *which, double sigma, int has_sigma,
+                             double tol, atpu_int ncv, atpu_int max_iter,
+                             double *evals, double *evecs, atpu_int *nconv) {
+  return run_solve('d', 1, 0, n, a, nullptr, nullptr, nullptr, 0, m, nev,
+                   which, sigma, 0.0, has_sigma, tol, ncv, max_iter,
+                   evals, nullptr, evecs, nullptr, nconv, nd);
+}
+
+atpu_int atpu_peigsh_dense_s(atpu_int nd, atpu_int n, const float *a,
+                             const float *m, atpu_int nev,
+                             const char *which, double sigma, int has_sigma,
+                             double tol, atpu_int ncv, atpu_int max_iter,
+                             float *evals, float *evecs, atpu_int *nconv) {
+  return run_solve('s', 1, 0, n, a, nullptr, nullptr, nullptr, 0, m, nev,
+                   which, sigma, 0.0, has_sigma, tol, ncv, max_iter,
+                   evals, nullptr, evecs, nullptr, nconv, nd);
+}
+
+atpu_int atpu_peigsh_csr_d(atpu_int nd, atpu_int n, const atpu_int *indptr,
+                           const atpu_int *indices, const double *data,
+                           atpu_int nnz, atpu_int nev, const char *which,
+                           double tol, atpu_int ncv, atpu_int max_iter,
+                           double *evals, double *evecs, atpu_int *nconv) {
+  return run_solve('d', 1, 0, n, nullptr, indptr, indices, data, nnz,
+                   nullptr, nev, which, 0.0, 0.0, 0, tol, ncv, max_iter,
+                   evals, nullptr, evecs, nullptr, nconv, nd);
+}
+
+atpu_int atpu_peigsh_csr_s(atpu_int nd, atpu_int n, const atpu_int *indptr,
+                           const atpu_int *indices, const float *data,
+                           atpu_int nnz, atpu_int nev, const char *which,
+                           double tol, atpu_int ncv, atpu_int max_iter,
+                           float *evals, float *evecs, atpu_int *nconv) {
+  return run_solve('s', 1, 0, n, nullptr, indptr, indices, data, nnz,
+                   nullptr, nev, which, 0.0, 0.0, 0, tol, ncv, max_iter,
+                   evals, nullptr, evecs, nullptr, nconv, nd);
+}
+
+atpu_int atpu_peigs_dense_d(atpu_int nd, atpu_int n, const double *a,
+                            const double *m, atpu_int nev,
+                            const char *which, double sigma, int has_sigma,
+                            double tol, atpu_int ncv, atpu_int max_iter,
+                            int schur, double *evals_re, double *evals_im,
+                            double *evecs_re, double *evecs_im,
+                            atpu_int *nconv) {
+  return run_solve('d', 0, schur, n, a, nullptr, nullptr, nullptr, 0, m,
+                   nev, which, sigma, 0.0, has_sigma, tol, ncv, max_iter,
+                   evals_re, evals_im, evecs_re, evecs_im, nconv, nd);
+}
+
+atpu_int atpu_peigs_dense_s(atpu_int nd, atpu_int n, const float *a,
+                            const float *m, atpu_int nev,
+                            const char *which, double sigma, int has_sigma,
+                            double tol, atpu_int ncv, atpu_int max_iter,
+                            int schur, float *evals_re, float *evals_im,
+                            float *evecs_re, float *evecs_im,
+                            atpu_int *nconv) {
+  return run_solve('s', 0, schur, n, a, nullptr, nullptr, nullptr, 0, m,
+                   nev, which, sigma, 0.0, has_sigma, tol, ncv, max_iter,
+                   evals_re, evals_im, evecs_re, evecs_im, nconv, nd);
+}
+
+atpu_int atpu_peigs_csr_d(atpu_int nd, atpu_int n, const atpu_int *indptr,
+                          const atpu_int *indices, const double *data,
+                          atpu_int nnz, atpu_int nev, const char *which,
+                          double tol, atpu_int ncv, atpu_int max_iter,
+                          int schur, double *evals_re, double *evals_im,
+                          double *evecs_re, double *evecs_im,
+                          atpu_int *nconv) {
+  return run_solve('d', 0, schur, n, nullptr, indptr, indices, data, nnz,
+                   nullptr, nev, which, 0.0, 0.0, 0, tol, ncv, max_iter,
+                   evals_re, evals_im, evecs_re, evecs_im, nconv, nd);
+}
+
+atpu_int atpu_peigs_dense_z(atpu_int nd, atpu_int n, const double *a,
+                            const double *m, atpu_int nev,
+                            const char *which, double sigma_re,
+                            double sigma_im, int has_sigma, double tol,
+                            atpu_int ncv, atpu_int max_iter, int schur,
+                            double *evals, double *evecs, atpu_int *nconv) {
+  return run_solve('z', 0, schur, n, a, nullptr, nullptr, nullptr, 0, m,
+                   nev, which, sigma_re, sigma_im, has_sigma, tol, ncv,
+                   max_iter, evals, nullptr, evecs, nullptr, nconv, nd);
+}
+
+atpu_int atpu_peigs_dense_c(atpu_int nd, atpu_int n, const float *a,
+                            const float *m, atpu_int nev,
+                            const char *which, double sigma_re,
+                            double sigma_im, int has_sigma, double tol,
+                            atpu_int ncv, atpu_int max_iter, int schur,
+                            float *evals, float *evecs, atpu_int *nconv) {
+  return run_solve('c', 0, schur, n, a, nullptr, nullptr, nullptr, 0, m,
+                   nev, which, sigma_re, sigma_im, has_sigma, tol, ncv,
+                   max_iter, evals, nullptr, evecs, nullptr, nconv, nd);
+}
+
+atpu_int atpu_peigs_csr_z(atpu_int nd, atpu_int n, const atpu_int *indptr,
+                          const atpu_int *indices, const double *data,
+                          atpu_int nnz, atpu_int nev, const char *which,
+                          double tol, atpu_int ncv, atpu_int max_iter,
+                          int schur, double *evals, double *evecs,
+                          atpu_int *nconv) {
+  return run_solve('z', 0, schur, n, nullptr, indptr, indices, data, nnz,
+                   nullptr, nev, which, 0.0, 0.0, 0, tol, ncv, max_iter,
+                   evals, nullptr, evecs, nullptr, nconv, nd);
 }
 
 /* ---- stat/debug control (stat_c.h:12-16, debug_c.h:6-9 analogs) --------- */

@@ -172,6 +172,58 @@ static void test_shift_invert_and_checkpoint(void) {
   free(a);
 }
 
+static void test_parallel_mesh(void) {
+  /* The ICB/parpack.h analog (icb_parpack_c.c: rows split across ranks,
+   * same eigenvalues as sequential; issue46.f: solve on a
+   * sub-communicator).  Mesh size is the explicit communicator arg. */
+  atpu_int ndev = atpu_device_count();
+  printf("visible devices: %lld\n", (long long)ndev);
+  CHECK(ndev >= 1, "device_count");
+  if (ndev < 2) {
+    printf("SKIP parallel tests (single device)\n");
+    return;
+  }
+  const atpu_int n = 300, nev = 4;
+  double *a = calloc((size_t)(n * n), sizeof(double));
+  for (atpu_int i = 0; i < n; ++i) a[i * n + i] = (double)(i + 1);
+  double evals[8] = {0};
+  atpu_int nconv = 0;
+  /* whole world (n_devices = 0 -> MPI_COMM_WORLD analog) */
+  atpu_int rc = atpu_peigsh_dense_d(0, n, a, NULL, nev, "LM", 0.0, 0,
+                                    1e-10, 20, 500, evals, NULL, &nconv);
+  CHECK(rc == 0, "p world rc");
+  CHECK(nconv >= nev, "p world nconv");
+  for (atpu_int i = 0; i < nev; ++i)
+    CHECK(fabs(evals[i] - (double)(n - nev + 1 + i)) < 1e-6,
+          "p world eigenvalue");
+  /* sub-communicator (issue46 pattern): first 2 devices only */
+  double evals2[8] = {0};
+  nconv = 0;
+  rc = atpu_peigsh_dense_d(2, n, a, NULL, nev, "LM", 0.0, 0, 1e-10,
+                           20, 500, evals2, NULL, &nconv);
+  CHECK(rc == 0, "p sub rc");
+  CHECK(nconv >= nev, "p sub nconv");
+  for (atpu_int i = 0; i < nev; ++i)
+    CHECK(fabs(evals2[i] - evals[i]) < 1e-8, "p sub == p world values");
+  /* distributed generalized shift-invert through the same entry */
+  double *m = calloc((size_t)(n * n), sizeof(double));
+  for (atpu_int i = 0; i < n; ++i) m[i * n + i] = 1.0;
+  nconv = 0;
+  rc = atpu_peigsh_dense_d(2, n, a, m, nev, "LM", 10.2, 1, 1e-10,
+                           20, 500, evals2, NULL, &nconv);
+  CHECK(rc == 0, "p gen shift-invert rc");
+  CHECK(nconv >= nev, "p gen shift-invert nconv");
+  /* the nev nearest eigenvalues to sigma=10.2 are {9,10,11,12} */
+  for (atpu_int i = 0; i < nev; ++i)
+    CHECK(fabs(evals2[i] - 10.2) < 2.3, "p shift-invert targets sigma");
+  /* oversubscription must fail loudly, not fall back silently */
+  rc = atpu_peigsh_dense_d(ndev + 1, n, a, NULL, nev, "LM", 0.0, 0,
+                           1e-10, 20, 500, evals, NULL, &nconv);
+  CHECK(rc == -9998, "oversubscribed mesh rejected");
+  free(a);
+  free(m);
+}
+
 int main(void) {
   atpu_debug_c(6, 6, 0, 0, 0, 0, 0, 0, 0, 0);   /* exercise debug_c */
   test_dense_d();
@@ -180,6 +232,7 @@ int main(void) {
   test_nonsym_d_schur();
   test_dense_z();
   test_shift_invert_and_checkpoint();
+  test_parallel_mesh();
   if (failures) {
     fprintf(stderr, "C-ABI: %d failures\n", failures);
     return 1;

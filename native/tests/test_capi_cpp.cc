@@ -92,6 +92,27 @@ int main() {
     CHECK(nconv >= nev, "eigs schur nconv");
   }
 
+  {                                           // parpack.hpp-analog overload
+    if (device_count() >= 2) {
+      std::vector<double> a(n * n, 0.0);
+      for (atpu_int i = 0; i < n; ++i) a[i * n + i] = double(i + 1);
+      std::vector<double> evals(nev + 2), evecs(n * (nev + 2));
+      atpu_int nconv = 0;
+      options o;
+      o.w = which::largest_magnitude;
+      o.tol = 1e-10;
+      o.ncv = 16;
+      o.max_iter = 500;
+      CHECK(eigsh(atpu_int(2), n, a.data(), nullptr, nev, evals.data(),
+                  evecs.data(), &nconv, o) == 0, "p eigsh rc");
+      CHECK(nconv >= nev, "p eigsh nconv");
+      CHECK(std::abs(evals[nev - 1] - double(n)) < 1e-8,
+            "p eigsh top value");
+    } else {
+      std::printf("SKIP parallel overload (single device)\n");
+    }
+  }
+
   if (failures) {
     std::fprintf(stderr, "C++ header: %d failures\n", failures);
     return 1;

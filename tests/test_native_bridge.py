@@ -165,3 +165,76 @@ class TestControl:
                         which="LA", tol=1e-8),
                    buf_a=memoryview(a.tobytes()))
         assert r["info"] < 0 and r["nconv"] == 0
+
+
+class TestDistributed:
+    """parpack.h-analog protocol: explicit mesh size per solve
+    (ICB/parpack.h:10-39; the C clients drive the same options through
+    atpu_peigsh_* / atpu_device_count)."""
+
+    def test_device_count(self):
+        assert nb.device_count() >= 8   # conftest provides 8 virtual
+
+    def test_world_and_submesh_match_sequential(self):
+        n = 300
+        a = _diag_problem(n, np.float64)
+        vals = {}
+        for nd in (1, 2, 0):            # sequential, sub-mesh, world
+            r = _solve(dict(dtype="d", symmetric=True, n=n, k=4,
+                            which="LM", tol=1e-10, n_devices=nd),
+                       buf_a=memoryview(a.tobytes()))
+            assert r["info"] == 0 and r["nconv"] >= 4
+            vals[nd] = np.frombuffer(r["vals_re"], np.float64)[:4]
+        np.testing.assert_allclose(vals[2], vals[1], rtol=1e-10)
+        np.testing.assert_allclose(vals[0], vals[1], rtol=1e-10)
+
+    def test_distributed_generalized_shift_invert(self):
+        n = 200
+        a = _diag_problem(n, np.float64)
+        m = np.eye(n)
+        r = _solve(dict(dtype="d", symmetric=True, n=n, k=3, which="LM",
+                        tol=1e-10, has_sigma=True, sigma_re=50.2,
+                        n_devices=4),
+                   buf_a=memoryview(a.tobytes()),
+                   buf_m=memoryview(m.tobytes()))
+        assert r["info"] == 0 and r["nconv"] >= 3
+        vals = np.frombuffer(r["vals_re"], np.float64)[:3]
+        assert np.min(np.abs(vals - 50.0)) < 1e-8
+
+    def test_non_pow2_mesh_padding(self):
+        # 3 devices: n_pad must become a multiple of lcm(128, 3)
+        n = 100
+        a = _diag_problem(n, np.float64)
+        r = _solve(dict(dtype="d", symmetric=True, n=n, k=3, which="LM",
+                        tol=1e-10, n_devices=3),
+                   buf_a=memoryview(a.tobytes()))
+        assert r["info"] == 0 and r["nconv"] >= 3
+        vals = np.frombuffer(r["vals_re"], np.float64)[:3]
+        assert vals[-1] == pytest.approx(np.max(np.linalg.eigvalsh(a)),
+                                         abs=1e-8)
+
+    def test_oversubscription_rejected(self):
+        n = 50
+        a = _diag_problem(n, np.float64)
+        r = _solve(dict(dtype="d", symmetric=True, n=n, k=3, which="LM",
+                        tol=1e-10, n_devices=10_000),
+                   buf_a=memoryview(a.tobytes()))
+        assert r["info"] == -9998 and r["nconv"] == 0
+
+    def test_iwidth32_csr(self):
+        # ATPU_INTERFACE64=0 clients send 32-bit indptr/indices
+        n = 80
+        import scipy.sparse as sp
+        a = sp.diags([-np.ones(n - 1), 2.0 * np.ones(n),
+                      -np.ones(n - 1)], [-1, 0, 1]).tocsr()
+        r = _solve(dict(dtype="d", symmetric=True, n=n, k=3, which="LA",
+                        tol=1e-10, iwidth=32),
+                   buf_p=memoryview(a.indptr.astype(np.int32).tobytes()),
+                   buf_i=memoryview(a.indices.astype(np.int32).tobytes()),
+                   buf_v=memoryview(a.data.astype(np.float64).tobytes()))
+        assert r["info"] == 0 and r["nconv"] >= 3
+        vals = np.frombuffer(r["vals_re"], np.float64)
+        exact = 2.0 - 2.0 * np.cos(np.pi * np.arange(n, n - 3, -1)
+                                   / (n + 1))
+        np.testing.assert_allclose(np.sort(vals[-3:]), np.sort(exact),
+                                   rtol=1e-8)
