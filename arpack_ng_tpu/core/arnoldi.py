@@ -60,9 +60,21 @@ class FactorizationState(NamedTuple):
     the reference's ``info != 0`` restart-from-resid protocol
     (SRC/dsaupd.f:130-136) with strictly more fidelity (the full
     factorization is kept, not just resid).
+
+    ``V`` layout: ``(ncv, n_pad // 128, 128)`` when :func:`v_is_3d` holds
+    (the default), else ``(ncv, n_pad)``.  TPU tiles the TRAILING TWO
+    dims (8, 128), so a 2-D basis interleaves 8 *different rows* per
+    tile and every single-row write/read becomes a read-modify-write of
+    the whole 8-row tile group — measured 126/60 us per step vs ~5 us
+    at n=1M (benchmarks/bench_dus.py).  The 3-D layout gives each basis
+    vector its own tiles: row access is tile-aligned (measured 3.8x on
+    the full Lanczos step, benchmarks/bench_dus2.py), while rotations
+    ``Q^T V`` and CGS contractions are layout-neutral (they contract /
+    batch over the leading axis).  Element order is identical, so
+    ``V.reshape(ncv, n_pad)`` recovers the matrix view.
     """
 
-    V: jax.Array        # (ncv, n_pad) basis vectors as rows
+    V: jax.Array        # basis vectors as rows; see layout note above
     H: jax.Array        # (ncv, ncv) upper-Hessenberg projection
     resid: jax.Array    # (n_pad,) current residual r_k
     b_resid: jax.Array  # (n_pad,) B @ resid (== resid for bmat='I')
@@ -73,6 +85,41 @@ class FactorizationState(NamedTuple):
     info: jax.Array     # int32: 0 ok; >0 invariant-subspace size; <0 error
     key: jax.Array      # PRNG key
     counts: OpCounts
+
+
+def v_is_3d(cfg: IRAMConfig, mesh=None) -> bool:
+    """Whether the basis uses the per-row-tiled (ncv, n_pad//128, 128)
+    layout (see FactorizationState).  Requires 128-lane divisibility; under
+    a mesh the panel axis is the row-sharded axis, so n_pad must split
+    into whole panels per device; the opt-in Pallas CGS kernels address V
+    as (ncv, n_pad) and keep the 2-D layout."""
+    size = int(mesh.devices.size) if mesh is not None else 1
+    return (cfg.cgs_kernel != "pallas"
+            and cfg.n_pad % (128 * size) == 0)
+
+
+def v_matrix(V):
+    """Host-side matrix view (ncv, n_pad) of a basis in either layout."""
+    a = np.asarray(V)
+    return a.reshape(a.shape[0], -1)
+
+
+def rotate_basis(Q, V, acc_dtype):
+    """``Q^T V`` contracting V's leading (row) axis — the dsapps
+    ``V <- V Q`` update in row-major storage, layout-generic (2-D or the
+    3-D per-row-tiled layout).  Narrow (bf16) storage contracts with wide
+    accumulation on TPU (MXU-native); off-TPU the operands are upcast
+    first (numerically identical, avoids the CPU DotThunk bf16 gap).
+    Returns the storage dtype of V."""
+    sdt = V.dtype
+    acc = jnp.dtype(acc_dtype)
+    if sdt == acc:
+        return lax.dot_general(Q.astype(acc), V, (((0,), (0,)), ((), ())))
+    if jax.default_backend() == "tpu":
+        return lax.dot_general(Q.astype(sdt), V, (((0,), (0,)), ((), ())),
+                               preferred_element_type=acc).astype(sdt)
+    return lax.dot_general(Q.astype(acc), V.astype(acc),
+                           (((0,), (0,)), ((), ()))).astype(sdt)
 
 
 def _bnorm(r, br):
@@ -116,14 +163,19 @@ def _random_vector(key, n_pad, n, dtype):
     return v
 
 
-def make_init(op: Operator, cfg: IRAMConfig):
+def make_init(op: Operator, cfg: IRAMConfig, v3d: Optional[bool] = None):
     """Build the jittable state initializer (dgetv0 j=1 path).
 
     Returns ``init(key, v0)`` where ``v0`` (optional, length n_pad) plays the
     role of the reference's user-supplied ``resid`` when ``info != 0`` on
-    input to ``dsaupd`` (SRC/dsaupd.f:243-246).
+    input to ``dsaupd`` (SRC/dsaupd.f:243-246).  ``v3d`` selects the basis
+    layout (see :func:`v_is_3d`; every consumer branches on ``V.ndim`` at
+    trace time, so only the initializer needs the decision).
     """
     ncv, n_pad, n = cfg.ncv, cfg.n_pad, cfg.n
+    if v3d is None:
+        v3d = v_is_3d(cfg)
+    vshape = (ncv, n_pad // 128, 128) if v3d else (ncv, n_pad)
     dtype = jnp.dtype(cfg.dtype)
     sdt = jnp.dtype(cfg.storage_dtype) if cfg.storage_dtype is not None \
         else dtype
@@ -152,7 +204,7 @@ def make_init(op: Operator, cfg: IRAMConfig):
         # SRC/dsaup2.f:332-341).
         info = jnp.where(rnorm > 0, jnp.int32(0), jnp.int32(-9))
         return FactorizationState(
-            V=jnp.zeros((ncv, n_pad), sdt),
+            V=jnp.zeros(vshape, sdt),
             H=jnp.zeros((ncv, ncv), dtype),
             resid=resid,
             b_resid=b_resid,
@@ -208,10 +260,28 @@ def make_extend(op: Operator, cfg: IRAMConfig):
     nbx1 = jnp.int32(1 if is_g else 0)
     bnorm = make_bnorm(op, cfg)
 
+    _mixed_dot_native = jax.default_backend() == "tpu"
+
     def _proj(V, w):
         """(rows,) projection coefficients V^H w, accumulated in `dtype`
         even when V is stored narrow (mixed-precision orthogonalization:
-        narrow reads, wide accumulate via preferred_element_type)."""
+        narrow reads, wide accumulate via preferred_element_type).
+        Layout-generic: the 3-D basis contracts over its (panel, lane)
+        trailing dims."""
+        if V.ndim == 3:
+            w = w.reshape(V.shape[1], V.shape[2])
+            if not mixed:
+                return lax.dot_general(V.conj(), w,
+                                       (((1, 2), (0, 1)), ((), ())))
+            if not _mixed_dot_native:
+                # CPU DotThunk lacks bf16xbf16=f32 rank-3 contractions;
+                # upcasting first is numerically identical (bf16->f32 is
+                # exact, accumulation stays f32)
+                return lax.dot_general(V.astype(dtype), w.astype(dtype),
+                                       (((1, 2), (0, 1)), ((), ())))
+            return lax.dot_general(V, w.astype(sdt),
+                                   (((1, 2), (0, 1)), ((), ())),
+                                   preferred_element_type=dtype)
         if not mixed:
             return V.conj() @ w
         return lax.dot_general(V, w.astype(sdt), (((1,), (0,)), ((), ())),
@@ -219,10 +289,35 @@ def make_extend(op: Operator, cfg: IRAMConfig):
 
     def _comb(h, V):
         """(n,) combination h @ V with wide accumulation."""
+        if V.ndim == 3:
+            if not mixed:
+                return lax.dot_general(
+                    h, V, (((0,), (0,)), ((), ()))).reshape(-1)
+            if not _mixed_dot_native:
+                return lax.dot_general(
+                    h, V.astype(dtype),
+                    (((0,), (0,)), ((), ()))).reshape(-1)
+            return lax.dot_general(
+                h.astype(sdt), V, (((0,), (0,)), ((), ())),
+                preferred_element_type=dtype).reshape(-1)
         if not mixed:
             return h @ V
         return lax.dot_general(h.astype(sdt), V, (((0,), (0,)), ((), ())),
                                preferred_element_type=dtype)
+
+    def _set_row(V, v, j):
+        """Write 1-D vector v as row j of the basis (layout-generic)."""
+        if V.ndim == 3:
+            blk = v.astype(sdt).reshape(1, V.shape[1], V.shape[2])
+            z = jnp.zeros((), j.dtype)
+            return lax.dynamic_update_slice(V, blk, (j, z, z))
+        return lax.dynamic_update_slice(V, v.astype(sdt)[None, :],
+                                        (j, jnp.zeros((), j.dtype)))
+
+    def _get_row(V, j):
+        """Read row j of the basis as a 1-D compute-dtype vector."""
+        r = lax.dynamic_index_in_dim(V, j, axis=0, keepdims=False)
+        return r.reshape(-1).astype(dtype)
 
     # ---- CGS kernel backend selection -----------------------------------
     # 'pallas': hand-scheduled streaming kernels (ops/pallas_cgs.py).
@@ -423,8 +518,7 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             inv = (jnp.ones((), rdt) / jnp.maximum(st.rnorm, tiny)).astype(rdt)
             v_j = st.resid * inv
             bv_j = st.b_resid * inv if is_g else v_j
-            V = lax.dynamic_update_slice(st.V, v_j.astype(sdt)[None, :],
-                                         (j, jnp.zeros((), j.dtype)))
+            V = _set_row(st.V, v_j, j)
             # STEP 3: w = OP v_j, with bw = B w (or A v for mode 2).
             w, bw = op.apply(v_j, bv_j)
             counts = counts.add(
@@ -589,8 +683,7 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             inv = (jnp.ones((), rdt) / jnp.maximum(st.rnorm, tiny)).astype(rdt)
             v_j = st.resid * inv
             bv_j = st.b_resid * inv if is_g else v_j
-            V = lax.dynamic_update_slice(st.V, v_j.astype(sdt)[None, :],
-                                         (j, jnp.zeros((), j.dtype)))
+            V = _set_row(st.V, v_j, j)
             w, bw = op.apply(v_j, bv_j)
             counts = counts.add(
                 nopx=jnp.int32(1),
@@ -602,9 +695,7 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             alpha = jnp.real(jnp.vdot(v_j, bw)).astype(rdt)
             beta_prev = jnp.where(rstart | (j == 0), jnp.zeros((), rdt),
                                   rnorm_prev)
-            v_jm1 = lax.dynamic_index_in_dim(
-                V, jnp.maximum(j - 1, 0), axis=0, keepdims=False
-            ).astype(dtype)
+            v_jm1 = _get_row(V, jnp.maximum(j - 1, 0))
             r = (w - alpha.astype(dtype) * v_j
                  - beta_prev.astype(dtype) * v_jm1)
             br = b_apply(r)

@@ -60,7 +60,8 @@ from ..utils import dtypes as _dt
 from ..utils.debug import debug, device_trace
 from ..utils.stats import SolverStats, Timers
 from . import reduced
-from .arnoldi import FactorizationState, make_bnorm, make_extend, make_init
+from .arnoldi import (FactorizationState, make_bnorm, make_extend,
+                      make_init, rotate_basis, v_is_3d)
 from .iram import IRAMResult
 
 #: QR-iteration sweep budget per cycle (a double shift retires a whole
@@ -474,13 +475,10 @@ def make_realnonsym_cycle(op: Operator, cfg: IRAMConfig):
             betak_row = lax.dynamic_index_in_dim(Hc, nev_eff, axis=0,
                                                  keepdims=False)
             betak = betak_row[nev_eff - 1].astype(cfg.dtype)
-            sdt = state.V.dtype
-            VQ = lax.dot_general(
-                Q.astype(sdt).T, state.V, (((1,), (0,)), ((), ())),
-                preferred_element_type=cfg.dtype).astype(sdt)
-            v_next = lax.dynamic_index_in_dim(VQ, nev_eff, axis=0,
-                                              keepdims=False
-                                              ).astype(cfg.dtype)
+            VQ = rotate_basis(Q, state.V, cfg.dtype)
+            v_next = lax.dynamic_index_in_dim(
+                VQ, nev_eff, axis=0, keepdims=False
+            ).reshape(-1).astype(cfg.dtype)
             resid = sigmak * state.resid + betak * v_next
             b_resid = op.b_apply(resid) if is_g else resid
             counts = state.counts.add(nbx=jnp.int32(1 if is_g else 0))
@@ -557,7 +555,7 @@ class FusedRealNonsymSolver:
         self.cycles_per_dispatch = cycles_per_dispatch
         if not cfg.exact_shifts:
             raise ValueError("fused path requires exact shifts")
-        init = make_init(op, cfg)
+        init = make_init(op, cfg, v3d=v_is_3d(cfg, mesh))
         multi = make_realnonsym_multi_cycle(op, cfg)
         if mesh is None:
             self._init_rand = jax.jit(lambda key: init(key, None))
@@ -565,7 +563,7 @@ class FusedRealNonsymSolver:
             self._multi = jax.jit(multi, donate_argnums=(0,))
         else:
             from ..parallel.sharding import replicated, state_shardings
-            st_sh = state_shardings(mesh)
+            st_sh = state_shardings(mesh, v3d=v_is_3d(cfg, mesh))
             rep = replicated(mesh)
             out_sh = RealCycleOut(state=st_sh, done=rep, nconv=rep,
                                   wr_s=rep, wi_s=rep, bounds_s=rep)

@@ -49,7 +49,7 @@ from ..utils.debug import debug, device_trace
 from ..utils.stats import SolverStats, Timers
 from . import reduced
 from .arnoldi import (FactorizationState, make_bnorm, make_extend,
-                      make_init)
+                      make_init, rotate_basis, v_is_3d)
 from .iram import IRAMResult
 
 
@@ -229,13 +229,10 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
             sigmak = Q[ncv - 1, nev_eff - 1].astype(cfg.dtype)
             betak = jnp.where(nev_eff < ncv, en[nev_eff - 1],
                               jnp.zeros((), rdt)).astype(cfg.dtype)
-            sdt = state.V.dtype
-            VQ = lax.dot_general(
-                Q.astype(sdt).T, state.V, (((1,), (0,)), ((), ())),
-                preferred_element_type=cfg.dtype).astype(sdt)
-            v_next = lax.dynamic_index_in_dim(VQ, nev_eff, axis=0,
-                                              keepdims=False
-                                              ).astype(cfg.dtype)
+            VQ = rotate_basis(Q, state.V, cfg.dtype)
+            v_next = lax.dynamic_index_in_dim(
+                VQ, nev_eff, axis=0, keepdims=False
+            ).reshape(-1).astype(cfg.dtype)
             resid = sigmak * state.resid + betak * v_next
             b_resid = op.b_apply(resid) if is_g else resid
             counts = state.counts.add(
@@ -260,11 +257,7 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
             # of the unwanted flag puts them first in ascending order
             src = order[jnp.argsort(iota < np_eff, stable=True)]
             theta = evals[src]
-            sdt = state.V.dtype
-            R = S[:, src].T.astype(rdt)
-            VQ = lax.dot_general(
-                R.astype(sdt), state.V, (((1,), (0,)), ((), ())),
-                preferred_element_type=cfg.dtype).astype(sdt)
+            VQ = rotate_basis(S[:, src].astype(rdt), state.V, cfg.dtype)
             H_new = jnp.diag(jnp.where(iota < nev_eff, theta,
                                        jnp.zeros((), rdt))
                              ).astype(cfg.dtype)
@@ -340,7 +333,7 @@ class FusedSymSolver:
         self.cycles_per_dispatch = cycles_per_dispatch
         if not cfg.exact_shifts:
             raise ValueError("fused path requires exact shifts")
-        init = make_init(op, cfg)
+        init = make_init(op, cfg, v3d=v_is_3d(cfg, mesh))
         cycle = make_sym_cycle(op, cfg)
         multi = make_sym_multi_cycle(op, cfg)
         if mesh is None:
@@ -350,7 +343,7 @@ class FusedSymSolver:
             self._multi = jax.jit(multi, donate_argnums=(0,))
         else:
             from ..parallel.sharding import replicated, state_shardings
-            st_sh = state_shardings(mesh)
+            st_sh = state_shardings(mesh, v3d=v_is_3d(cfg, mesh))
             rep = replicated(mesh)
             if cfg.n_pad % mesh.devices.size != 0:
                 raise ValueError("n_pad must divide the mesh size")

@@ -263,8 +263,9 @@ def extract(op: Operator, cfg: IRAMConfig, result: IRAMResult,
                 # dneupd normalizes via dtrevc + dscal)
                 Scols = Scols / np.linalg.norm(Scols, axis=0, keepdims=True)
 
-        V = state.V  # (ncv, n_pad) on device
-        gemm = jax.jit(lambda s, v: s @ v)
+        V = state.V  # basis on device (either layout; contract dim 0)
+        gemm = jax.jit(lambda s, v: jax.lax.dot_general(
+            s, v.astype(s.dtype), (((1,), (0,)), ((), ()))))
         if (not _dt.is_complex(cfg.dtype)) and np.iscomplexobj(Scols):
             # real basis, complex reduced eigenvectors (conjugate pairs):
             # one real GEMM over the stacked [Re; Im] coefficients — the
@@ -273,12 +274,14 @@ def extract(op: Operator, cfg: IRAMConfig, result: IRAMResult,
             Sstk = np.concatenate([Scols.real.T, Scols.imag.T], axis=0)
             Zstk = np.asarray(jax.device_get(
                 gemm(jnp.asarray(Sstk.astype(cfg.dtype)), V)))
+            Zstk = Zstk.reshape(Zstk.shape[0], -1)
             Zc = Zstk[: Scols.shape[1]] + 1j * Zstk[Scols.shape[1]:]
             Zh_rows = Zc.astype(np.complex128)
         else:
             Sdev = jnp.asarray(Scols.T.astype(cfg.dtype))  # (nconv, ncv)
             Zh_rows = np.asarray(jax.device_get(gemm(Sdev, V))).astype(
                 host_dtype)
+            Zh_rows = Zh_rows.reshape(Zh_rows.shape[0], -1)
 
         # ---- purification (generalized modes; SRC/dseupd.f:817-843) ----
         if op.mode in (3, 4, 5) and op.bmat == "G" and (howmny != "P"):

@@ -34,7 +34,7 @@ from ..utils.debug import debug, trace
 from ..utils.stats import SolverStats, Timers
 from . import reduced
 from .arnoldi import (FactorizationState, make_bnorm, make_extend,
-                      make_init)
+                      make_init, rotate_basis, v_is_3d)
 
 
 @dataclasses.dataclass
@@ -77,7 +77,7 @@ class IRAMSolver:
         self._host_dtype = np.complex128 if self._complex else np.float64
         self._rdt = _dt.real_dtype(cfg.dtype)
 
-        init = make_init(op, cfg)
+        init = make_init(op, cfg, v3d=v_is_3d(cfg, mesh))
         extend = make_extend(op, cfg)
         if mesh is None:
             self._init_rand = jax.jit(lambda key: init(key, None))
@@ -90,7 +90,7 @@ class IRAMSolver:
             # sharding annotations make XLA insert the allreduces at the
             # reference's MPI call sites.
             from ..parallel.sharding import replicated, state_shardings
-            st_sh = state_shardings(mesh)
+            st_sh = state_shardings(mesh, v3d=v_is_3d(cfg, mesh))
             rep = replicated(mesh)
             if cfg.n_pad % mesh.devices.size != 0:
                 raise ValueError(
@@ -118,9 +118,11 @@ class IRAMSolver:
         (SRC/dsapps.f:452-501, SRC/dsaup2.f:764-808): V <- Q^T V,
         r <- sigmak*r + betak*(V Q)_{kev+1}, then rnorm = ||r||_B."""
         op = self.op
-        VQ = (Q.T @ state.V).astype(state.V.dtype)  # (ncv,ncv)@(ncv,n) GEMM
+        # (ncv,ncv)@(ncv,...) GEMM, layout-generic (contracts V's dim 0)
+        VQ = rotate_basis(Q, state.V, self.cfg.dtype)
         v_next = jax.lax.dynamic_index_in_dim(
-            VQ, kev, axis=0, keepdims=False).astype(self.cfg.dtype)
+            VQ, kev, axis=0, keepdims=False).reshape(-1).astype(
+            self.cfg.dtype)
         resid = sigmak * state.resid + betak * v_next
         if op.bmat == "G":
             b_resid = op.b_apply(resid)

@@ -54,12 +54,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def state_shardings(mesh: Mesh) -> FactorizationState:
+def state_shardings(mesh: Mesh, v3d: bool = False) -> FactorizationState:
     """Sharding pytree for :class:`FactorizationState`: V sharded over its
-    state-vector axis, everything NCV-sized or scalar replicated."""
+    state-vector axis (the panel axis in the 3-D per-row-tiled layout,
+    arnoldi.v_is_3d), everything NCV-sized or scalar replicated."""
     rep = replicated(mesh)
     return FactorizationState(
-        V=NamedSharding(mesh, P(None, ROWS)),
+        V=NamedSharding(mesh, P(None, ROWS, None) if v3d
+                        else P(None, ROWS)),
         H=rep,
         resid=NamedSharding(mesh, P(ROWS)),
         b_resid=NamedSharding(mesh, P(ROWS)),

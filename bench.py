@@ -10,21 +10,32 @@ Two variants run on the chip:
 * **reference algorithm**: full classical Gram-Schmidt per step with the
   0.717 DGKS refinement test — exactly dsaitr's schedule
   (SRC/dsaitr.f:570-781).  Its measured refinement RATE defines the
-  baseline traffic model.
+  baseline traffic model; the rate is taken as the MIN of the rate in
+  the timed (floor-tolerance) windows and the rate of a realistic
+  tol=1e-5 solve, so the baseline is never flattered by the f32
+  convergence floor (round-2 verdict, "what's weak" #1).
 * **production algorithm** (eigsh default): partial-reorthogonalization
   Lanczos — three-term recurrence with Simon's omega-recurrence tracking;
   full CGS only when semi-orthogonality is at risk.
 
 Metric: sustained operator-application throughput through the *whole*
 production solver (matvec + orthogonalization + basis updates), as nnz/s
-(stencil nnz ~= 5n).  ``vs_baseline`` = (HBM-speed-of-light time of the
-REFERENCE algorithm doing the same number of Lanczos steps, using the
-reference's own measured DGKS refinement rate) / (our measured wall).
-vs_baseline > 1 means this solver beats a zero-overhead execution of the
-reference's algorithm on the same chip.
+(stencil nnz ~= 5n).  Two rooflines are reported:
+
+* ``vs_baseline`` (= ``vs_ref_alg``): HBM speed-of-light of the
+  REFERENCE algorithm doing the same Lanczos steps at its own measured
+  DGKS rate, divided by our wall.  > 1 means this solver beats a
+  zero-overhead execution of the reference's algorithm on this chip.
+* ``vs_self``: HBM speed-of-light of the PRODUCTION algorithm's own
+  traffic (32 B/point per recurrence step — stencil + V-row write +
+  v_{j-1} read + residual update, the model validated piecewise by
+  benchmarks/bench_step_breakdown.py — plus 2 V-passes per
+  reorthogonalization pass and per restart rotation), divided by our
+  wall.  This is the honest "fraction of our own speed of light".
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "nnz/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "nnz/s", "vs_baseline": N,
+   "vs_ref_alg": N, "vs_self": N}
 """
 import json
 import sys
@@ -56,9 +67,9 @@ def main():
 
     op, _ = models.laplacian_2d(nx, dtype=dtype)
 
-    def make_solver(reorth):
+    def make_solver(reorth, tol=1e-30):
         cfg = IRAMConfig(n=op.n, nev=nev, ncv=ncv, which="LA",
-                         symmetric=True, dtype=np.dtype(dtype), tol=1e-30,
+                         symmetric=True, dtype=np.dtype(dtype), tol=tol,
                          n_pad=op.n_pad, max_iter=10_000, reorth=reorth)
         return FusedSymSolver(op, cfg)
 
@@ -75,7 +86,7 @@ def main():
         out = solver._multi(state, jnp.int32(2), jnp.int32(10_000))
         float(jax.device_get(out.state.rnorm))
 
-        tot = dict(dt=0.0, cycles=0, matvecs=0, refines=0)
+        tot = dict(dt=0.0, cycles=0, matvecs=0, refines=0, extra=0)
         seed = 1000
         while tot["cycles"] < target_cycles:
             state = solver.init_state(jax.random.key(seed))
@@ -92,52 +103,77 @@ def main():
             tot["cycles"] += int(jax.device_get(out.state.iter)) - it0
             tot["matvecs"] += int(c1.nopx) - int(c0.nopx)
             tot["refines"] += int(c1.nrorth) - int(c0.nrorth)
+            tot["extra"] += int(c1.nitref) - int(c0.nitref)
         return tot
 
     ref = measure(make_solver("dgks"))        # the reference algorithm
     prod = measure(make_solver("selective"))  # the production default
 
+    # reference DGKS rate at a REALISTIC tolerance (one converged solve;
+    # the floor-tol windows above keep DGKS near its maximum rate)
+    s_real = make_solver("dgks", tol=1e-5)
+    res_real = s_real.solve(key=jax.random.key(7))
+    c = jax.device_get(res_real.state.counts)
+    rate_real = float(c.nrorth) / max(float(c.nopx), 1.0)
+
     n, n_pad = op.n, op.n_pad
     nnz = 5 * n                               # 5-point stencil
     nnz_per_s = prod["matvecs"] * nnz / prod["dt"]
 
-    # HBM speed-of-light of the REFERENCE algorithm (dsaitr full CGS) doing
-    # the production run's Lanczos steps, with the reference's own measured
-    # DGKS refinement rate.  Per step CGS reads V twice (projection +
-    # update, SRC/dsaitr.f:570-583); each DGKS refinement adds two more
-    # passes (:656-781); the stencil matvec streams ~12 B/point; the
-    # end-of-cycle rotation V <- Q^T V streams V twice (dsapps V*Q).
     itemsize = np.dtype(dtype).itemsize
     v_bytes = ncv * n_pad * itemsize
-    ref_rate = ref["refines"] / max(ref["matvecs"], 1)
-    steps = prod["matvecs"]
-    traffic = (steps * 2 * v_bytes
-               + ref_rate * steps * 2 * v_bytes
-               + steps * 12 * n
-               + prod["cycles"] * 2 * v_bytes)
     bw_bytes = 819e9                          # v5e HBM
-    bound_t = traffic / bw_bytes
-    vs = bound_t / prod["dt"]
+
+    # ---- roofline 1: the REFERENCE algorithm's traffic -------------------
+    # Per step CGS reads V twice (projection + update,
+    # SRC/dsaitr.f:570-583); each DGKS refinement adds two more passes
+    # (:656-781); the stencil matvec streams ~12 B/point; the end-of-cycle
+    # rotation V <- Q^T V streams V twice (dsapps V*Q).  DGKS rate = min
+    # of the timed-window rate and the realistic-tol rate.
+    rate_win = ref["refines"] / max(ref["matvecs"], 1)
+    ref_rate = min(rate_win, rate_real)
+    steps = prod["matvecs"]
+    ref_traffic = (steps * 2 * v_bytes
+                   + ref_rate * steps * 2 * v_bytes
+                   + steps * 12 * n
+                   + prod["cycles"] * 2 * v_bytes)
+    vs_ref = (ref_traffic / bw_bytes) / prod["dt"]
+
+    # ---- roofline 2: the PRODUCTION algorithm's OWN traffic --------------
+    # 32 B/point per recurrence step (benchmarks/bench_step_breakdown.py:
+    # resid read + V-row write + stencil in/out + w + v_{j-1} read +
+    # r write, conservatively fused), 2 V-passes per reorth pass
+    # (events + extra DGKS passes), 2 V-passes per restart rotation.
+    self_traffic = (steps * 32 * n
+                    + (prod["refines"] + prod["extra"]) * 2 * v_bytes
+                    + prod["cycles"] * 2 * v_bytes)
+    vs_self = (self_traffic / bw_bytes) / prod["dt"]
 
     ref_per_mv = ref["dt"] / max(ref["matvecs"], 1)
     prod_per_mv = prod["dt"] / max(steps, 1)
     print(f"# reference(dgks): cycles={ref['cycles']} "
           f"matvecs={ref['matvecs']} refines={ref['refines']} "
-          f"(rate {ref_rate:.2f}) wall={ref['dt']:.3f}s "
+          f"(rate window {rate_win:.2f} / realistic {rate_real:.2f} -> "
+          f"using {ref_rate:.2f}) wall={ref['dt']:.3f}s "
           f"per-matvec={ref_per_mv*1e3:.2f}ms", file=sys.stderr)
     print(f"# production(selective): cycles={prod['cycles']} "
           f"matvecs={prod['matvecs']} refines={prod['refines']} "
-          f"wall={prod['dt']:.3f}s per-matvec={prod_per_mv*1e3:.2f}ms "
+          f"(+{prod['extra']} extra passes) wall={prod['dt']:.3f}s "
+          f"per-matvec={prod_per_mv*1e3:.2f}ms "
           f"measured speedup vs dgks={ref_per_mv/prod_per_mv:.2f}x",
           file=sys.stderr)
-    print(f"# n={n} ncv={ncv} roofline(ref alg)={bound_t*1e3:.1f}ms "
-          f"wall={prod['dt']*1e3:.1f}ms -> vs_baseline={vs:.3f} "
+    print(f"# n={n} ncv={ncv} ref-alg roofline="
+          f"{ref_traffic/bw_bytes*1e3:.1f}ms self roofline="
+          f"{self_traffic/bw_bytes*1e3:.1f}ms wall={prod['dt']*1e3:.1f}ms "
+          f"-> vs_ref_alg={vs_ref:.3f} vs_self={vs_self:.3f} "
           f"platform={jax.devices()[0].platform}", file=sys.stderr)
     print(json.dumps({
         "metric": "eigensolve_spmv_throughput",
         "value": round(nnz_per_s / 1e9, 4),
         "unit": "Gnnz/s",
-        "vs_baseline": round(vs, 4),
+        "vs_baseline": round(vs_ref, 4),
+        "vs_ref_alg": round(vs_ref, 4),
+        "vs_self": round(vs_self, 4),
     }))
 
 

@@ -90,8 +90,12 @@ class TestShardingLayout:
         s = IRAMSolver(op, cfg, mesh=mesh8)
         st = s.init_state()
         # V must actually be row-sharded over the mesh, resid too
+        # (panel axis in the 3-D per-row-tiled layout, arnoldi.v_is_3d)
+        from arpack_ng_tpu.core.arnoldi import v_is_3d
         v_shard = st.V.sharding
-        assert v_shard.spec == state_shardings(mesh8).V.spec
+        expect = state_shardings(mesh8, v3d=v_is_3d(cfg, mesh8)).V
+        assert v_shard.spec == expect.spec
+        assert "rows" in v_shard.spec
         assert len(st.resid.sharding.device_set) == 8
         # H replicated
         assert st.H.sharding.is_fully_replicated

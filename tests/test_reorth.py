@@ -88,6 +88,7 @@ class TestSemiOrthogonality:
         res, cfg = _solve_fused(op, nx * nx, dtype, "selective", ncv=24,
                                 tol=1e-30, maxiter=30)  # force full run
         V = np.asarray(jax.device_get(res.state.V), dtype=np.float64)
+        V = V.reshape(V.shape[0], -1)
         G = V @ V.T
         defect = np.max(np.abs(G - np.eye(cfg.ncv)))
         # semi-orthogonality bound with headroom for the ncv accumulation
@@ -167,6 +168,7 @@ class TestGeneralizedSelective:
         # same matvec count: the relaxation did not slow convergence
         assert abs(nop_s - nop_d) <= 0.15 * nop_d
         V = np.asarray(jax.device_get(st["selective"].V), dtype=np.float64)
+        V = V.reshape(V.shape[0], -1)
         M = m.toarray()
         Vl = V[:, : op.n]
         G = Vl @ M @ Vl.T

