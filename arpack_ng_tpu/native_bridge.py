@@ -227,6 +227,103 @@ def solve(options: str, buf_a=None, buf_p=None, buf_i=None, buf_v=None,
     return ret
 
 
+def mm_query(path: str):
+    """Matrix-market probe (arpackSolver createMatrix phase 1,
+    arpackSolver.hpp:176-215): [n_rows, n_cols, nnz, is_complex].
+    Symmetric storage is expanded (nnz is the EXPANDED count, which is
+    what the read call will deliver in CSR)."""
+    import numpy as np
+
+    from .io.matrix_market import read_matrix
+    a = read_matrix(path).tocsr()
+    return [int(a.shape[0]), int(a.shape[1]), int(a.nnz),
+            1 if np.iscomplexobj(a.data) else 0]
+
+
+def mm_read(path: str, want_complex: int, iwidth: int = 64):
+    """Matrix-market CSR payload: dict of bytes (indptr, indices, data).
+    Real data as float64; complex as interleaved (re, im) float64 pairs
+    (C99 double _Complex layout)."""
+    import numpy as np
+
+    from .io.matrix_market import read_matrix
+    a = read_matrix(path).tocsr()
+    idt = np.int32 if int(iwidth) == 32 else np.int64
+    data = a.data.astype(np.complex128 if want_complex else np.float64)
+    return {
+        "indptr": a.indptr.astype(idt).tobytes(),
+        "indices": a.indices.astype(idt).tobytes(),
+        "data": data.tobytes(),
+    }
+
+
+def check_eigvec(options: str, buf_p=None, buf_i=None, buf_v=None,
+                 buf_mp=None, buf_mi=None, buf_mv=None,
+                 buf_valr=None, buf_vali=None, buf_vecr=None,
+                 buf_veci=None):
+    """Residual verifier (arpackSolver::checkEigVec,
+    arpackSolver.hpp:297-323): max_i ||A v_i - lambda_i B v_i|| /
+    max(|lambda_i| ||v_i||, tiny) over the supplied pairs.
+
+    ``options`` (JSON): dtype 'd'|'z', n, nnz, m_nnz (0 = B = I), nconv,
+    diff_tol, dense (bool: buf_v/buf_mv hold row-major n*n), iwidth.
+    Real dtype: vals/vecs as split re/im arrays (dneupd pair storage
+    flattened); complex: buf_valr/buf_vecr interleaved, im buffers None.
+    Returns {"max_res": float, "ok": 0|1}.
+    """
+    import numpy as np
+    import scipy.sparse as sp
+
+    opt = json.loads(options)
+    dt = np.complex128 if opt["dtype"] == "z" else np.float64
+    idt = np.int32 if int(opt.get("iwidth", 64)) == 32 else np.int64
+    n = int(opt["n"])
+    nconv = int(opt["nconv"])
+    dense = bool(opt.get("dense", False))
+
+    def load_mat(bp, bi, bv, nnz):
+        if bv is None:
+            return None
+        if dense or bp is None:
+            return _np_from_buffer(bv, dt, n * n).reshape(n, n)
+        indptr = _np_from_buffer(bp, idt, n + 1).astype(np.int64)
+        indices = _np_from_buffer(bi, idt, nnz).astype(np.int64)
+        data = _np_from_buffer(bv, dt, nnz)
+        return sp.csr_matrix((data, indices, indptr), shape=(n, n))
+
+    a = load_mat(buf_p, buf_i, buf_v, int(opt["nnz"]))
+    m = load_mat(buf_mp, buf_mi, buf_mv, int(opt.get("m_nnz", 0))) \
+        if int(opt.get("m_nnz", 0)) or (dense and buf_mv is not None) \
+        else None
+
+    if opt["dtype"] == "z":
+        vals = _np_from_buffer(buf_valr, np.complex128, nconv)
+        vecs = _np_from_buffer(buf_vecr, np.complex128,
+                               n * nconv).reshape(nconv, n)
+    else:
+        vr = _np_from_buffer(buf_valr, np.float64, nconv)
+        vi = (_np_from_buffer(buf_vali, np.float64, nconv)
+              if buf_vali is not None else np.zeros(nconv))
+        vals = vr + 1j * vi
+        zr = _np_from_buffer(buf_vecr, np.float64,
+                             n * nconv).reshape(nconv, n)
+        zi = (_np_from_buffer(buf_veci, np.float64,
+                              n * nconv).reshape(nconv, n)
+              if buf_veci is not None else np.zeros_like(zr))
+        vecs = zr + 1j * zi
+
+    max_res = 0.0
+    for i in range(nconv):
+        v = vecs[i]
+        av = a @ v
+        bv = m @ v if m is not None else v
+        num = np.linalg.norm(av - vals[i] * bv)
+        den = max(abs(vals[i]) * np.linalg.norm(v), 1e-300)
+        max_res = max(max_res, float(num / den))
+    tol = float(opt.get("diff_tol", 1e-6))
+    return {"max_res": max_res, "ok": 1 if max_res <= tol else 0}
+
+
 def get_stats():
     """stat_c() analog: 5 counters + 26 timer slots, stat_c.h:12-16 order.
 

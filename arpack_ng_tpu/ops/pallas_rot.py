@@ -1,0 +1,77 @@
+"""Pallas TPU kernel for the basis rotation ``V <- Q^T V`` — the dsapps
+``V*Q`` update (SRC/dsapps.f:452-501) on the 3-D per-row-tiled basis
+layout (core/arnoldi.FactorizationState).
+
+Measured motivation (benchmarks/bench_dus2.py, v5e): XLA lowers the
+(ncv, ncv) x (ncv, npan, 128) contraction at ~275 GB/s — 0.35 of the HBM
+roofline for what is a pure streaming pass (V read once, written once,
+Q is 4 KB).  This kernel streams V through VMEM in (ncv, P, 128) panel
+blocks and rotates each with ONE (ncv, ncv)@(ncv, P*128) MXU matmul per
+grid step; Mosaic double-buffers the sequential grid, so the pass runs
+at the copy roofline.
+
+This is exactly the fusion class the round-1 retrospective said CAN pay
+(docs/PERF.md): the rotation has no XLA fusion neighbors to lose (its
+output is loop-carried), so the pallas_call barrier costs nothing, and
+the kernel removes no passes but fixes a 3x-below-roofline lowering.
+
+Used by core/arnoldi.rotate_basis on TPU for unsharded 3-D float32/bf16
+bases; everything else keeps the XLA contraction.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+LANE = 128
+#: panels per grid step (VMEM block = 2 * ncv * P * 128 * itemsize)
+DEFAULT_PANELS = 8
+
+
+@functools.lru_cache(maxsize=None)
+def make_rotate(ncv: int, npan: int, v_dtype: str, acc_dtype: str,
+                panels: int = DEFAULT_PANELS, interpret: bool = False):
+    """Build ``rotate(q, V) -> Q^T V`` over a (ncv, npan, 128) basis.
+
+    ``q`` must already be in the basis storage dtype (bf16 inputs hit the
+    MXU's native bf16 x bf16 -> f32 path); accumulation is ``acc_dtype``.
+    """
+    vdt = jnp.dtype(v_dtype)
+    adt = jnp.dtype(acc_dtype)
+    # Mosaic requires the block's last-two dims divisible by (8, 128):
+    # the panel dim sits in sublane position, so P must be a multiple
+    # of 8 (and divide npan)
+    P = panels
+    while P >= 8 and npan % P:
+        P -= 8
+    if P < 8 or npan % P:
+        raise ValueError(f"npan={npan} needs a multiple-of-8 panel block")
+    grid = (npan // P,)
+
+    def kernel(q_ref, v_ref, o_ref):
+        q = q_ref[...]                     # (ncv, ncv)
+        blk = v_ref[...].reshape(ncv, P * LANE)
+        out = jax.lax.dot_general(q, blk, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=adt)
+        o_ref[...] = out.reshape(ncv, P, LANE).astype(vdt)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((ncv, ncv), lambda i: (0, 0)),
+                  pl.BlockSpec((ncv, P, LANE), lambda i: (0, i, 0))],
+        out_specs=pl.BlockSpec((ncv, P, LANE), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((ncv, npan, LANE), vdt),
+        interpret=interpret,
+    )
+
+
+def supported(V, q_dtype) -> bool:
+    """Kernel applicability: 3-D real f32/bf16 basis (the TPU layouts)."""
+    return (V.ndim == 3 and V.shape[2] == LANE
+            and jnp.dtype(V.dtype) in (jnp.dtype(jnp.float32),
+                                       jnp.dtype(jnp.bfloat16))
+            and not jnp.issubdtype(jnp.dtype(q_dtype), jnp.complexfloating))

@@ -230,6 +230,54 @@ void atpu_debug_c(atpu_int logfil, atpu_int ndigit, atpu_int mgetv0,
                   atpu_int meigt, atpu_int mapps, atpu_int mgets,
                   atpu_int meupd);
 
+/* ---- matrix-market reader + residual verifier ----------------------------
+ * The arpackSolver convenience surface, C-reachable: createMatrix's
+ * MatrixMarket ingestion (arpackSolver.hpp:176-215) and checkEigVec's
+ * independent residual verification (arpackSolver.hpp:297-323).
+ *
+ * Reader protocol (two calls): atpu_mm_query probes sizes (symmetric
+ * storage is expanded — nnz is the EXPANDED CSR count the read call
+ * delivers), then atpu_mm_read_{d,z} fills caller-allocated CSR buffers
+ * (indptr: n_rows+1, indices/data: nnz; _z data interleaved re,im).
+ * Returns 0, or -1 on read/parse failure.
+ *
+ * Verifier: max_i ||A v_i - lambda_i B v_i|| / (|lambda_i| ||v_i||) over
+ * nconv pairs; *max_res receives it; returns 0 if <= diff_tol, 1 if
+ * above, -1 on error.  `dense` != 0: a/m are row-major n*n and the
+ * indptr/indices arguments are ignored (pass NULL).  m == NULL: B = I.
+ * The _d variant takes dneupd-convention split re/im values/vectors
+ * (NULL imag parts = real spectrum); _z takes interleaved complex. */
+
+atpu_int atpu_mm_query(const char *path, atpu_int *n_rows,
+                       atpu_int *n_cols, atpu_int *nnz, int *is_complex);
+
+atpu_int atpu_mm_read_d(const char *path, atpu_int *indptr,
+                        atpu_int *indices, double *data);
+
+atpu_int atpu_mm_read_z(const char *path, atpu_int *indptr,
+                        atpu_int *indices, double *data);
+
+atpu_int atpu_check_eigvec_d(atpu_int n, int dense,
+                             const atpu_int *indptr,
+                             const atpu_int *indices, const double *a,
+                             atpu_int nnz, const atpu_int *m_indptr,
+                             const atpu_int *m_indices, const double *m,
+                             atpu_int m_nnz, atpu_int nconv,
+                             const double *evals_re,
+                             const double *evals_im,
+                             const double *evecs_re,
+                             const double *evecs_im, double diff_tol,
+                             double *max_res);
+
+atpu_int atpu_check_eigvec_z(atpu_int n, int dense,
+                             const atpu_int *indptr,
+                             const atpu_int *indices, const double *a,
+                             atpu_int nnz, const atpu_int *m_indptr,
+                             const atpu_int *m_indices, const double *m,
+                             atpu_int m_nnz, atpu_int nconv,
+                             const double *evals, const double *evecs,
+                             double diff_tol, double *max_res);
+
 /* ---- checkpoint dump/restart --------------------------------------------
  * Applies to the NEXT solve call, then clears (the reference's restart is
  * likewise per-solve: info!=0 + caller resid, SRC/dsaupd.f:130-136).

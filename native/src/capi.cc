@@ -468,6 +468,173 @@ atpu_int atpu_peigs_csr_z(atpu_int nd, atpu_int n, const atpu_int *indptr,
                    evals, nullptr, evecs, nullptr, nconv, nd);
 }
 
+/* ---- matrix-market reader + residual verifier (arpackSolver.hpp:176-215,
+ *      :297-323 analogs) --------------------------------------------------- */
+
+atpu_int atpu_mm_query(const char *path, atpu_int *n_rows,
+                       atpu_int *n_cols, atpu_int *nnz, int *is_complex) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  if (!ensure_python() || !path) return -1;
+  PyGILState_STATE gil = PyGILState_Ensure();
+  atpu_int rc = -1;
+  PyObject *fn = bridge_attr("mm_query");
+  if (fn) {
+    PyObject *r = PyObject_CallFunction(fn, "s", path);
+    if (r && PySequence_Check(r) && PySequence_Size(r) >= 4) {
+      long long v[4];
+      for (int j = 0; j < 4; ++j) {
+        PyObject *it = PySequence_GetItem(r, j);
+        v[j] = PyLong_AsLongLong(it);
+        Py_XDECREF(it);
+      }
+      if (n_rows) *n_rows = v[0];
+      if (n_cols) *n_cols = v[1];
+      if (nnz) *nnz = v[2];
+      if (is_complex) *is_complex = static_cast<int>(v[3]);
+      rc = 0;
+    } else if (!r) {
+      PyErr_Print();
+    }
+    Py_XDECREF(r);
+    Py_DECREF(fn);
+  }
+  PyGILState_Release(gil);
+  return rc;
+}
+
+namespace {
+atpu_int mm_read_impl(const char *path, int want_complex,
+                      atpu_int *indptr, atpu_int *indices, double *data) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  if (!ensure_python() || !path) return -1;
+  PyGILState_STATE gil = PyGILState_Ensure();
+  atpu_int rc = -1;
+  PyObject *fn = bridge_attr("mm_read");
+  if (fn) {
+    PyObject *r = PyObject_CallFunction(
+        fn, "sii", path, want_complex,
+        static_cast<int>(sizeof(atpu_int) * 8));
+    if (r && PyDict_Check(r)) {
+      // capacities unknown here: bridge produced exactly query-sized
+      // payloads; copy whatever it sent
+      copy_bytes(r, "indptr", indptr, SIZE_MAX);
+      copy_bytes(r, "indices", indices, SIZE_MAX);
+      copy_bytes(r, "data", data, SIZE_MAX);
+      rc = 0;
+    } else if (!r) {
+      PyErr_Print();
+    }
+    Py_XDECREF(r);
+    Py_DECREF(fn);
+  }
+  PyGILState_Release(gil);
+  return rc;
+}
+
+atpu_int check_eigvec_impl(char dtype, atpu_int n, int dense,
+                           const atpu_int *indptr, const atpu_int *indices,
+                           const double *a, atpu_int nnz,
+                           const atpu_int *m_indptr,
+                           const atpu_int *m_indices, const double *m,
+                           atpu_int m_nnz, atpu_int nconv,
+                           const double *valr, const double *vali,
+                           const double *vecr, const double *veci,
+                           double diff_tol, double *max_res) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  if (!ensure_python() || !a || !valr || !vecr) return -1;
+  PyGILState_STATE gil = PyGILState_Ensure();
+  atpu_int rc = -1;
+  do {
+    PyObject *fn = bridge_attr("check_eigvec");
+    if (!fn) break;
+    char opts[512];
+    std::snprintf(
+        opts, sizeof(opts),
+        "{\"dtype\":\"%c\",\"n\":%lld,\"nnz\":%lld,\"m_nnz\":%lld,"
+        "\"nconv\":%lld,\"diff_tol\":%.17g,\"dense\":%s,\"iwidth\":%d}",
+        dtype, static_cast<long long>(n), static_cast<long long>(nnz),
+        static_cast<long long>(m_nnz), static_cast<long long>(nconv),
+        diff_tol, dense ? "true" : "false",
+        static_cast<int>(sizeof(atpu_int) * 8));
+    size_t sb = (dtype == 'z') ? 16 : 8;
+    size_t a_bytes = dense ? size_t(n) * size_t(n) * sb
+                           : size_t(nnz) * sb;
+    size_t m_bytes = dense ? size_t(n) * size_t(n) * sb
+                           : size_t(m_nnz) * sb;
+    size_t vsb = (dtype == 'z') ? 16 : 8;
+    PyObject *opt = PyUnicode_FromString(opts);
+    PyObject *mP = mv_or_none(dense ? nullptr : indptr,
+                              sizeof(atpu_int) * size_t(n + 1));
+    PyObject *mI = mv_or_none(dense ? nullptr : indices,
+                              sizeof(atpu_int) * size_t(nnz));
+    PyObject *mV = mv_or_none(a, a_bytes);
+    PyObject *mMP = mv_or_none(dense ? nullptr : m_indptr,
+                               sizeof(atpu_int) * size_t(n + 1));
+    PyObject *mMI = mv_or_none(dense ? nullptr : m_indices,
+                               sizeof(atpu_int) * size_t(m_nnz));
+    PyObject *mMV = mv_or_none(m, m_bytes);
+    PyObject *mVR = mv_or_none(valr, size_t(nconv) * vsb);
+    PyObject *mVI = mv_or_none(vali, size_t(nconv) * 8);
+    PyObject *mZR = mv_or_none(vecr, size_t(n) * size_t(nconv) * vsb);
+    PyObject *mZI = mv_or_none(veci, size_t(n) * size_t(nconv) * 8);
+    PyObject *res = PyObject_CallFunctionObjArgs(
+        fn, opt, mP, mI, mV, mMP, mMI, mMV, mVR, mVI, mZR, mZI, nullptr);
+    Py_DECREF(fn); Py_DECREF(opt);
+    Py_XDECREF(mP); Py_XDECREF(mI); Py_XDECREF(mV);
+    Py_XDECREF(mMP); Py_XDECREF(mMI); Py_XDECREF(mMV);
+    Py_XDECREF(mVR); Py_XDECREF(mVI); Py_XDECREF(mZR); Py_XDECREF(mZI);
+    if (!res) { PyErr_Print(); break; }
+    PyObject *mr = PyDict_GetItemString(res, "max_res");
+    PyObject *ok = PyDict_GetItemString(res, "ok");
+    if (max_res && mr) *max_res = PyFloat_AsDouble(mr);
+    rc = (ok && PyLong_AsLong(ok)) ? 0 : 1;
+    Py_DECREF(res);
+  } while (false);
+  PyGILState_Release(gil);
+  return rc;
+}
+}  // namespace
+
+atpu_int atpu_mm_read_d(const char *path, atpu_int *indptr,
+                        atpu_int *indices, double *data) {
+  return mm_read_impl(path, 0, indptr, indices, data);
+}
+
+atpu_int atpu_mm_read_z(const char *path, atpu_int *indptr,
+                        atpu_int *indices, double *data) {
+  return mm_read_impl(path, 1, indptr, indices, data);
+}
+
+atpu_int atpu_check_eigvec_d(atpu_int n, int dense,
+                             const atpu_int *indptr,
+                             const atpu_int *indices, const double *a,
+                             atpu_int nnz, const atpu_int *m_indptr,
+                             const atpu_int *m_indices, const double *m,
+                             atpu_int m_nnz, atpu_int nconv,
+                             const double *evals_re,
+                             const double *evals_im,
+                             const double *evecs_re,
+                             const double *evecs_im, double diff_tol,
+                             double *max_res) {
+  return check_eigvec_impl('d', n, dense, indptr, indices, a, nnz,
+                           m_indptr, m_indices, m, m_nnz, nconv, evals_re,
+                           evals_im, evecs_re, evecs_im, diff_tol,
+                           max_res);
+}
+
+atpu_int atpu_check_eigvec_z(atpu_int n, int dense,
+                             const atpu_int *indptr,
+                             const atpu_int *indices, const double *a,
+                             atpu_int nnz, const atpu_int *m_indptr,
+                             const atpu_int *m_indices, const double *m,
+                             atpu_int m_nnz, atpu_int nconv,
+                             const double *evals, const double *evecs,
+                             double diff_tol, double *max_res) {
+  return check_eigvec_impl('z', n, dense, indptr, indices, a, nnz,
+                           m_indptr, m_indices, m, m_nnz, nconv, evals,
+                           nullptr, evecs, nullptr, diff_tol, max_res);
+}
+
 /* ---- stat/debug control (stat_c.h:12-16, debug_c.h:6-9 analogs) --------- */
 
 void atpu_stats_reset(void) {

@@ -224,8 +224,62 @@ static void test_parallel_mesh(void) {
   free(m);
 }
 
+static void test_mm_and_check(void) {
+  /* arpackSolver createMatrix + checkEigVec, C-reachable: write a small
+   * symmetric .mtx, query/read it, solve, verify residuals with the
+   * independent checker (arpackSolver.hpp:176-215, :297-323). */
+  const char *path = "/tmp/atpu_c_test.mtx";
+  FILE *f = fopen(path, "w");
+  CHECK(f != NULL, "mm write");
+  if (!f) return;
+  const int N = 60;
+  fprintf(f, "%%%%MatrixMarket matrix coordinate real symmetric\n");
+  fprintf(f, "%d %d %d\n", N, N, 2 * N - 1);
+  for (int i = 1; i <= N; ++i) fprintf(f, "%d %d 2.0\n", i, i);
+  for (int i = 1; i < N; ++i) fprintf(f, "%d %d -1.0\n", i + 1, i);
+  fclose(f);
+
+  atpu_int n = 0, nc = 0, nnz = 0;
+  int is_cplx = 1;
+  CHECK(atpu_mm_query(path, &n, &nc, &nnz, &is_cplx) == 0, "mm_query rc");
+  CHECK(n == N && nc == N, "mm_query dims");
+  CHECK(nnz == 3 * N - 2, "mm_query expanded nnz");  /* sym expanded */
+  CHECK(is_cplx == 0, "mm_query real");
+
+  atpu_int *indptr = malloc(sizeof(atpu_int) * (size_t)(n + 1));
+  atpu_int *indices = malloc(sizeof(atpu_int) * (size_t)nnz);
+  double *data = malloc(sizeof(double) * (size_t)nnz);
+  CHECK(atpu_mm_read_d(path, indptr, indices, data) == 0, "mm_read rc");
+  CHECK(indptr[n] == nnz, "mm_read indptr tail");
+
+  const atpu_int nev = 3;
+  double evals[8] = {0};
+  double *evecs = malloc(sizeof(double) * (size_t)n * 8);
+  atpu_int nconv = 0;
+  atpu_int rc = atpu_eigsh_csr_d(n, indptr, indices, data, nnz, nev,
+                                 "LA", 1e-10, 16, 500, evals, evecs,
+                                 &nconv);
+  CHECK(rc == 0 && nconv >= nev, "mm solve");
+
+  double max_res = 1.0;
+  rc = atpu_check_eigvec_d(n, 0, indptr, indices, data, nnz, NULL, NULL,
+                           NULL, 0, nev, evals, NULL, evecs, NULL, 1e-8,
+                           &max_res);
+  CHECK(rc == 0, "check_eigvec passes");
+  CHECK(max_res < 1e-8, "check_eigvec residual small");
+  /* corrupt an eigenvalue: the checker must fail loudly */
+  evals[0] += 0.5;
+  rc = atpu_check_eigvec_d(n, 0, indptr, indices, data, nnz, NULL, NULL,
+                           NULL, 0, nev, evals, NULL, evecs, NULL, 1e-8,
+                           &max_res);
+  CHECK(rc == 1 && max_res > 1e-3, "check_eigvec catches corruption");
+  free(indptr); free(indices); free(data); free(evecs);
+  remove(path);
+}
+
 int main(void) {
   atpu_debug_c(6, 6, 0, 0, 0, 0, 0, 0, 0, 0);   /* exercise debug_c */
+  test_mm_and_check();
   test_dense_d();
   test_dense_s();
   test_csr_d_and_stats();

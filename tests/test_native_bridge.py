@@ -167,6 +167,79 @@ class TestControl:
         assert r["info"] < 0 and r["nconv"] == 0
 
 
+class TestMMAndVerifier:
+    """arpackSolver createMatrix/checkEigVec analogs at the protocol
+    level (arpackSolver.hpp:176-215, :297-323); the C clients drive the
+    same functions through atpu_mm_*/atpu_check_eigvec_*."""
+
+    def _write_mtx(self, tmp_path, n=40):
+        import scipy.io as sio
+        import scipy.sparse as sp
+        a = sp.diags([-np.ones(n - 1), 2.0 * np.ones(n),
+                      -np.ones(n - 1)], [-1, 0, 1]).tocoo()
+        p = tmp_path / "a.mtx"
+        sio.mmwrite(str(p), a, symmetry="symmetric")
+        return str(p), a.tocsr()
+
+    def test_query_read_roundtrip(self, tmp_path):
+        path, a = self._write_mtx(tmp_path)
+        n, nc, nnz, is_cplx = nb.mm_query(path)
+        assert (n, nc, nnz, is_cplx) == (40, 40, a.nnz, 0)
+        blobs = nb.mm_read(path, 0)
+        indptr = np.frombuffer(blobs["indptr"], np.int64)
+        indices = np.frombuffer(blobs["indices"], np.int64)
+        data = np.frombuffer(blobs["data"], np.float64)
+        import scipy.sparse as sp
+        b = sp.csr_matrix((data, indices, indptr), shape=(n, n))
+        assert (b != a).nnz == 0
+
+    def test_check_eigvec(self, tmp_path):
+        path, a = self._write_mtx(tmp_path)
+        vals, vecs = np.linalg.eigh(a.toarray())
+        k = 3
+        vr = np.ascontiguousarray(vals[-k:])
+        zr = np.ascontiguousarray(vecs[:, -k:].T)
+        opts = json.dumps(dict(dtype="d", n=40, nnz=a.nnz, m_nnz=0,
+                               nconv=k, diff_tol=1e-10))
+        r = nb.check_eigvec(
+            opts,
+            buf_p=memoryview(a.indptr.astype(np.int64).tobytes()),
+            buf_i=memoryview(a.indices.astype(np.int64).tobytes()),
+            buf_v=memoryview(a.data.tobytes()),
+            buf_valr=memoryview(vr.tobytes()),
+            buf_vecr=memoryview(zr.tobytes()))
+        assert r["ok"] == 1 and r["max_res"] < 1e-12
+        vr2 = vr.copy()
+        vr2[0] += 0.3
+        r = nb.check_eigvec(
+            opts,
+            buf_p=memoryview(a.indptr.astype(np.int64).tobytes()),
+            buf_i=memoryview(a.indices.astype(np.int64).tobytes()),
+            buf_v=memoryview(a.data.tobytes()),
+            buf_valr=memoryview(vr2.tobytes()),
+            buf_vecr=memoryview(zr.tobytes()))
+        assert r["ok"] == 0 and r["max_res"] > 1e-3
+
+    def test_check_eigvec_complex_generalized_dense(self, rng):
+        n, k = 30, 3
+        a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        a = (a + a.conj().T) / 2
+        m = np.eye(n) * 2.0
+        import scipy.linalg as sla_
+        vals, vecs = sla_.eigh(a, m)
+        vr = np.ascontiguousarray(vals[-k:].astype(np.complex128))
+        zr = np.ascontiguousarray(vecs[:, -k:].T.astype(np.complex128))
+        opts = json.dumps(dict(dtype="z", n=n, nnz=0, m_nnz=0,
+                               nconv=k, diff_tol=1e-9, dense=True))
+        r = nb.check_eigvec(
+            opts,
+            buf_v=memoryview(a.astype(np.complex128).tobytes()),
+            buf_mv=memoryview(m.astype(np.complex128).tobytes()),
+            buf_valr=memoryview(vr.tobytes()),
+            buf_vecr=memoryview(zr.tobytes()))
+        assert r["ok"] == 1 and r["max_res"] < 1e-10
+
+
 class TestDistributed:
     """parpack.h-analog protocol: explicit mesh size per solve
     (ICB/parpack.h:10-39; the C clients drive the same options through
