@@ -160,6 +160,7 @@ class BandedFactor:
                           and not np.issubdtype(self.dtype, np.complexfloating))
         self.method = None
         self.probe_residual = np.inf
+        self._dia_fwd = self._dia_bwd = None
         if method in ("auto", "cr"):
             self._try_cr(ab, kl, ku, want_complex_factor, probe_tol)
         if method == "lu" or (self.method is None and method == "auto") or \
@@ -214,10 +215,15 @@ class BandedFactor:
         # realified factors are real arrays in the (real) target dtype;
         # complex-native factors are stored in the complex target dtype.
         store = self.dtype
-        self.levels = [tuple(jnp.asarray(a.astype(store)) for a in lev)
-                       for lev in levels]
         self.root_inv = jnp.asarray(root_inv.astype(store))
         self.method = "cr"
+        if self._setup_cr_dia(levels, store):
+            # stride-free device form active; the compacted factor is
+            # not needed on device
+            self.levels = None
+        else:
+            self.levels = [tuple(jnp.asarray(a.astype(store))
+                                 for a in lev) for lev in levels]
         if self.probe_residual > probe_tol and self.refine == 0:
             warnings.warn(
                 f"BCR factorization probe residual {self.probe_residual:.2e}"
@@ -292,8 +298,94 @@ class BandedFactor:
 
     # ---- device path -----------------------------------------------------
 
+    #: memory gate for the stride-free full-length DIA device form
+    _DIA_CR_MAX_BYTES = 1.5e9
+
+    def _setup_cr_dia(self, levels, store) -> bool:
+        """Build the full-length masked-shift (DIA) device form of the
+        BCR sweeps.
+
+        The compacted form's even/odd strided slices are pathological on
+        TPU: with (8, 128) tiling, lane-strided compaction + the (m, b)
+        small-minor-dim layout amplify traffic ~100x (measured 36.9 ms
+        per n=2^20 tridiagonal solve, docs/PERF.md round-3).  Scattering
+        each level's blocks onto FULL-LENGTH flat diagonals at factor
+        time turns every sweep into contiguous shift-multiply passes
+        (ops.sparse.dia_matvec_fn — zero strided access); level
+        selectivity lives in the zeros of the scattered diagonals:
+
+          forward  level l:  F -= G_f . shift(F, -s*b) + H_f . shift(+s*b)
+                             (rows j*2^(l+1)*b only; s = 2^l)
+          backward level l:  X += Dinv_f . (F - Lo_f . shift(X, -s*b)
+                                              - Uo_f . shift(X, +s*b))
+                             (rows (2j+1)*2^l*b only)
+
+        Costs levels*O(n*b) factor memory instead of O(n*b); gated by
+        ``_DIA_CR_MAX_BYTES`` (returns False -> compacted fallback).
+        """
+        from .sparse import dia_matvec_fn
+        m, b = self.m, self.b
+        mb = m * b
+        itemsize = np.dtype(store).itemsize
+
+        def scatter(diags, Block, p_blocks, sblk):
+            rows_base = p_blocks * b
+            for r in range(b):
+                rows = rows_base + r
+                for c in range(b):
+                    vals = Block[:, r, c]
+                    if not np.any(vals):
+                        continue
+                    off = sblk * b + (c - r)
+                    d = diags.get(off)
+                    if d is None:
+                        d = np.zeros(mb, Block.dtype)
+                        diags[off] = d
+                    d[rows] = vals
+
+        fwd, bwd = [], []
+        total = 0
+        for lvl, (G, H, Dinv_o, Lo, Uo) in enumerate(levels):
+            s = 1 << lvl
+            mj = G.shape[0]
+            p_e = np.arange(mj) * (2 * s)
+            p_o = p_e + s
+            df, dlu, dd = {}, {}, {}
+            scatter(df, G, p_e, -s)
+            scatter(df, H, p_e, +s)
+            scatter(dlu, Lo, p_o, -s)
+            scatter(dlu, Uo, p_o, +s)
+            scatter(dd, Dinv_o, p_o, 0)
+            total += (len(df) + len(dlu) + len(dd)) * mb * itemsize
+            if total > self._DIA_CR_MAX_BYTES:
+                return False
+            fwd.append(df)
+            bwd.append((dlu, dd))
+
+        def mk(dct):
+            offs = sorted(dct)
+            return dia_matvec_fn(offs, [dct[o].astype(store)
+                                        for o in offs], mb, mb)
+
+        self._dia_fwd = [mk(d) for d in fwd]
+        self._dia_bwd = [(mk(dlu), mk(dd)) for dlu, dd in bwd]
+        return True
+
+    def _cr_solve_dia(self, f):
+        """One BCR sweep in the stride-free DIA form (see _setup_cr_dia)."""
+        F = f.reshape(-1)
+        for mv in self._dia_fwd:
+            F = F - mv(F)
+        X = jnp.zeros_like(F).at[: self.b].set(self.root_inv @ F[: self.b])
+        for mv_lu, mv_d in reversed(self._dia_bwd):
+            T = F - mv_lu(X)
+            X = X + mv_d(T)
+        return X.reshape(self.m, self.b)
+
     def _cr_solve_device(self, f):
         """One BCR sweep on device. f: (m, b) device array."""
+        if self._dia_fwd is not None:
+            return self._cr_solve_dia(f)
         fos = []
         for (G, H, Dinv_o, Lo, Uo) in self.levels:
             fe, fo = f[0::2], f[1::2]
