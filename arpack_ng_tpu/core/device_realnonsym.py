@@ -58,6 +58,7 @@ from ..config import IRAMConfig
 from ..ops.operator import Operator
 from ..utils import dtypes as _dt
 from ..utils.debug import debug, device_trace
+from ..utils.hoist import hoisted_jit
 from ..utils.stats import SolverStats, Timers
 from . import reduced
 from .arnoldi import (FactorizationState, make_bnorm, make_extend,
@@ -558,9 +559,11 @@ class FusedRealNonsymSolver:
         init = make_init(op, cfg, v3d=v_is_3d(cfg, mesh))
         multi = make_realnonsym_multi_cycle(op, cfg)
         if mesh is None:
-            self._init_rand = jax.jit(lambda key: init(key, None))
-            self._init_v0 = jax.jit(init)
-            self._multi = jax.jit(multi, donate_argnums=(0,))
+            # hoisted_jit keeps operator data (dense/DIA/banded/ILU
+            # arrays) out of the lowered module (utils/hoist.py)
+            self._init_rand = hoisted_jit(lambda key: init(key, None))
+            self._init_v0 = hoisted_jit(init)
+            self._multi = hoisted_jit(multi, donate_argnums=(0,))
         else:
             from ..parallel.sharding import replicated, state_shardings
             st_sh = state_shardings(mesh, v3d=v_is_3d(cfg, mesh))

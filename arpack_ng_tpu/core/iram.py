@@ -31,6 +31,7 @@ from ..config import IRAMConfig
 from ..ops.operator import Operator
 from ..utils import dtypes as _dt
 from ..utils.debug import debug, trace
+from ..utils.hoist import hoisted_jit
 from ..utils.stats import SolverStats, Timers
 from . import reduced
 from .arnoldi import (FactorizationState, make_bnorm, make_extend,
@@ -80,10 +81,13 @@ class IRAMSolver:
         init = make_init(op, cfg, v3d=v_is_3d(cfg, mesh))
         extend = make_extend(op, cfg)
         if mesh is None:
-            self._init_rand = jax.jit(lambda key: init(key, None))
-            self._init_v0 = jax.jit(init)
-            self._extend = jax.jit(extend, donate_argnums=(0,))
-            self._tail = jax.jit(self._cycle_tail, donate_argnums=(0,))
+            # hoisted_jit keeps operator data (dense/DIA/banded/ILU
+            # arrays) out of the lowered module (utils/hoist.py)
+            self._init_rand = hoisted_jit(lambda key: init(key, None))
+            self._init_v0 = hoisted_jit(init)
+            self._extend = hoisted_jit(extend, donate_argnums=(0,))
+            self._tail = hoisted_jit(self._cycle_tail,
+                                     donate_argnums=(0,))
         else:
             # Distributed solve: PARPACK-style row partition (see
             # parallel/sharding.py).  The exact same traced code runs;

@@ -127,6 +127,43 @@ def bench_spmv(n, iters=50):
     return out, 5 * n
 
 
+def bench_banded(n, iters=64):
+    """BCR banded shift-invert apply (stride-free DIA device form)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from arpack_ng_tpu.config import pad_dim
+    from arpack_ng_tpu.ops.bandsolve import BandedFactor, shifted_band
+    from arpack_ng_tpu.utils.hoist import hoisted_jit
+
+    ab = np.zeros((3, n))
+    ab[0, 1:] = -1.0
+    ab[1, :] = 2.0
+    ab[2, :-1] = -1.0
+    ab_s, kl, ku = shifted_band(ab, 1, 1, None, 0, 0, 0.5, n)
+    fac = BandedFactor(ab_s, kl, ku, dtype=np.float32, n=n)
+    n_pad = pad_dim(n)
+    x0 = jnp.asarray(np.random.default_rng(0)
+                     .standard_normal(n_pad).astype(np.float32))
+
+    def chained(x):
+        def body(i, x):
+            y = fac.solve(x)
+            y = y / jnp.sqrt(jnp.maximum(jnp.vdot(y, y), 1e-30))
+            return y + 1e-6 * jnp.abs(y)
+        x = lax.fori_loop(0, iters, body, x)
+        return x, jnp.vdot(x[:8], x[:8])
+
+    f = hoisted_jit(chained)
+    x, s = f(x0)
+    _force(s)
+    t0 = time.perf_counter()
+    x, s = f(x)
+    _force(s)
+    return (time.perf_counter() - t0) / iters, fac.method
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
@@ -162,6 +199,12 @@ def main():
     dt, c = bench_nonsym(nx_ns, 32, 8)
     print(f"| nonsym fused real f32 | {dt*1e3:.1f} ms/cycle "
           f"| {c} cycles |")
+    try:
+        dtb, meth = bench_banded(4096 if args.small else (1 << 20))
+        print(f"| banded shift-invert apply ({meth}) | {dtb*1e6:.0f} "
+              f"us/solve | n={4096 if args.small else 1 << 20} tridiag |")
+    except Exception as e:
+        print(f"| banded shift-invert apply | n/a | {type(e).__name__} |")
     try:
         spmv, nnz = bench_spmv((nx * nx))
     except Exception as e:
