@@ -53,6 +53,7 @@ def main():
     from arpack_ng_tpu.ops.solvers import (ilu0_preconditioner,
                                            make_iterative_solve)
     from arpack_ng_tpu.ops.transforms import shift_invert_operator
+    from arpack_ng_tpu.utils.hoist import hoisted_jit
 
     n = 2**14 if args.small else 2**20
     n_pad = pad_dim(n)
@@ -86,7 +87,7 @@ def main():
         x = lax.fori_loop(0, iters, body, x)
         return x, jnp.vdot(x[:8], x[:8])
 
-    f = jax.jit(chained_apply)
+    f = hoisted_jit(chained_apply)
     x, s = f(x0)
     float(jax.device_get(s))
     t0 = time.perf_counter()
@@ -129,7 +130,7 @@ def main():
     fac_lu = BandedFactor(ab_b, kl2, ku2, dtype=dtype, n=n)
     print(f"fallback factor method: {fac_lu.method}", flush=True)
     try:
-        g = jax.jit(lambda v: fac_lu.solve(v))
+        g = hoisted_jit(lambda v: fac_lu.solve(v))
         y = g(x0)
         float(jax.device_get(y[0]))
         t0 = time.perf_counter()
