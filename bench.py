@@ -32,10 +32,16 @@ production solver (matvec + orthogonalization + basis updates), as nnz/s
   benchmarks/bench_step_breakdown.py — plus 2 V-passes per
   reorthogonalization pass and per restart rotation), divided by our
   wall.  This is the honest "fraction of our own speed of light".
+* ``vs_achievable`` (diagnostic): same production traffic charged at the
+  chip's MEASURED per-pattern bandwidth ceilings (420 GB/s contiguous
+  r+w stream, 610 GB/s read-dominated pass pair, 280 GB/s 1:1
+  rotation GEMM — docs/PERF.md machine-characteristics table), divided
+  by our wall.  The gap between vs_self and vs_achievable is machine
+  (nominal-vs-delivered bandwidth), not software.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "nnz/s", "vs_baseline": N,
-   "vs_ref_alg": N, "vs_self": N}
+   "vs_ref_alg": N, "vs_self": N, "vs_achievable": N}
 """
 import json
 import sys
@@ -149,6 +155,20 @@ def main():
                     + prod["cycles"] * 2 * v_bytes)
     vs_self = (self_traffic / bw_bytes) / prod["dt"]
 
+    # ---- diagnostic: wall vs the MEASURED per-pattern ceilings -----------
+    # vs_self above charges every byte at the 819 GB/s nominal.  The chip
+    # does not deliver nominal on any pattern (docs/PERF.md round-3
+    # machine-characteristics table): contiguous r+w streams ~420 GB/s,
+    # read-dominated CGS pass pairs ~610 GB/s, and the 1:1 read:write
+    # rotation GEMM ~280 GB/s (its machine ceiling — the best hand Pallas
+    # schedule ties XLA there, benchmarks/bench_rot_pallas.py).  The
+    # achievable-wall below uses those measured ceilings per component;
+    # wall/achievable says how much is left for SOFTWARE to recover.
+    achievable = (steps * 32 * n / 420e9
+                  + (prod["refines"] + prod["extra"]) * 2 * v_bytes / 610e9
+                  + prod["cycles"] * 2 * v_bytes / 280e9)
+    vs_achievable = achievable / prod["dt"]
+
     ref_per_mv = ref["dt"] / max(ref["matvecs"], 1)
     prod_per_mv = prod["dt"] / max(steps, 1)
     print(f"# reference(dgks): cycles={ref['cycles']} "
@@ -167,6 +187,10 @@ def main():
           f"{self_traffic/bw_bytes*1e3:.1f}ms wall={prod['dt']*1e3:.1f}ms "
           f"-> vs_ref_alg={vs_ref:.3f} vs_self={vs_self:.3f} "
           f"platform={jax.devices()[0].platform}", file=sys.stderr)
+    print(f"# achievable wall at MEASURED per-pattern ceilings "
+          f"(420/610/280 GB/s) = {achievable*1e3:.1f}ms -> "
+          f"wall/achievable = {1.0/max(vs_achievable, 1e-12):.2f} "
+          f"(vs_achievable={vs_achievable:.3f})", file=sys.stderr)
     print(json.dumps({
         "metric": "eigensolve_spmv_throughput",
         "value": round(nnz_per_s / 1e9, 4),
@@ -174,6 +198,7 @@ def main():
         "vs_baseline": round(vs_ref, 4),
         "vs_ref_alg": round(vs_ref, 4),
         "vs_self": round(vs_self, 4),
+        "vs_achievable": round(vs_achievable, 4),
     }))
 
 
