@@ -65,7 +65,12 @@ class IRAMConfig:
     #   coupling — mathematically equivalent to implicit restarts with
     #   exact shifts [Wu & Simon 2000], numerically exact where the f32
     #   QR chase accumulates rounding, and cheaper on device: one basis
-    #   GEMM instead of an np-step scan of QR factorizations)
+    #   GEMM instead of an np-step scan of QR factorizations).  Caveat:
+    #   the arrowhead H left by a thick restart breaks the three-term
+    #   omega-recurrence model, so reorth='selective' degenerates to a
+    #   full reorthogonalization every step — measured 2.8x slower than
+    #   implicit+selective at n=1M (docs/PERF.md round-3); prefer
+    #   'implicit' unless bulge-chase rounding is the concern.
     reorth: str = "dgks"        # refinement-trigger policy for the Arnoldi
     #   step's iterative reorthogonalization:
     #   'dgks'      — the reference's test: refine whenever the CGS pass
