@@ -85,21 +85,46 @@ def _resolve_storage(storage_dtype, dtype, tol, pro_active=False):
     return None
 
 
+def _resolve_sym_reorth(reorth: str, restart: str) -> str:
+    """Resolve ``reorth='auto'`` for the symmetric/Hermitian path.
+
+    Symmetric problems run Lanczos, where semi-orthogonality provably
+    preserves eps-level Ritz accuracy (Simon 1984) — partial
+    reorthogonalization ('selective') is the default and removes the
+    dominant V-traffic term (docs/PERF.md round-2).  Under
+    ``restart='thick'`` the arrowhead H breaks the three-term omega
+    recurrence and 'selective' degenerates to a full reorthogonalization
+    every step (measured 2.8x slower at n=1M, docs/PERF.md round-3):
+    'auto' resolves to 'dgks' there, and an explicit 'selective'+thick
+    combination gets a one-line warning."""
+    if reorth == "auto":
+        return "dgks" if restart == "thick" else "selective"
+    if reorth == "selective" and restart == "thick":
+        import warnings
+        warnings.warn(
+            "restart='thick' breaks the omega recurrence: "
+            "reorth='selective' degenerates to full reorthogonalization "
+            "every step (measured 2.8x slower at n=1M, docs/PERF.md "
+            "round-3); prefer reorth='dgks' or restart='implicit'",
+            stacklevel=3)
+    return reorth
+
+
 def _make_solver(op, cfg, shift_fn=None, mesh=None, strategy="auto"):
     """Pick the execution strategy.
 
     'fused'  — entire restart cycle as one XLA computation (device
-               reduced space); symmetric/Hermitian, exact shifts (all
-               which selectors incl. 'BE').
-    'hybrid' — host float64 reduced space (the PARPACK-like split);
-               required for user shifts.
+               reduced space); symmetric/Hermitian, all which selectors
+               incl. 'BE'.  User shifts (ishift=0) run fused too, as two
+               dispatches per cycle around the host shift_fn callback
+               (the ido=3 protocol, SRC/dsaup2.f:700-724).
+    'hybrid' — host float64 reduced space (the PARPACK-like split).
     """
     use_fused = (strategy == "fused") or (
-        strategy == "auto" and cfg.symmetric
-        and cfg.exact_shifts and shift_fn is None)
+        strategy == "auto" and cfg.symmetric)
     if use_fused:
         from .core.device_sym import FusedSymSolver
-        return FusedSymSolver(op, cfg, mesh=mesh)
+        return FusedSymSolver(op, cfg, mesh=mesh, shift_fn=shift_fn)
     return IRAMSolver(op, cfg, shift_fn=shift_fn, mesh=mesh)
 
 
@@ -164,8 +189,15 @@ def eigsh(
     restart: str = "implicit",
     reorth: str = "auto",
     select=None,
+    shift_fn=None,
 ):
     """Symmetric/Hermitian eigensolver (dsaupd/dseupd equivalent).
+
+    ``shift_fn(ritz_unwanted, bounds_unwanted) -> shifts``: caller-
+    supplied implicit shifts (the reference's ishift=0 / ido=3 protocol,
+    SRC/dsaup2.f:700-724).  Runs through the fused device driver as two
+    dispatches per cycle around the host callback; nev stagnation
+    inflation is disabled exactly as in the reference (dsaup2.f:673).
 
     Modes (reference iparam(7), SRC/dsaupd.f:30-48):
 
@@ -189,12 +221,10 @@ def eigsh(
         op = _as_operator(A, dtype=dtype, hermitian=True)
     n = op.n
     ncv = ncv if ncv is not None else default_ncv(n, k, symmetric=True)
-    if reorth == "auto":
-        # Symmetric/Hermitian problems run Lanczos, where semi-
-        # orthogonality provably preserves eps-level Ritz accuracy
-        # (Simon 1984) — partial reorthogonalization is the default and
-        # removes the dominant V-traffic term (docs/PERF.md round-2).
-        reorth = "selective"
+    if shift_fn is not None and restart == "thick":
+        raise ValueError("shift_fn requires restart='implicit' "
+                         "(a thick restart applies no shifts)")
+    reorth = _resolve_sym_reorth(reorth, restart)
     pro_active = (reorth == "selective" and restart == "implicit")
     storage_dtype = _resolve_storage(storage_dtype, op.dtype, tol,
                                      pro_active=pro_active)
@@ -202,10 +232,11 @@ def eigsh(
         n=n, nev=k, ncv=min(ncv, n), which=which, bmat=op.bmat, mode=op.mode,
         tol=tol, max_iter=maxiter if maxiter is not None else 10 * n,
         symmetric=True, dtype=np.dtype(op.dtype), n_pad=op.n_pad, seed=seed,
-        storage_dtype=storage_dtype, cgs_kernel=cgs_kernel, restart=restart,
-        reorth=reorth)
+        exact_shifts=shift_fn is None, storage_dtype=storage_dtype,
+        cgs_kernel=cgs_kernel, restart=restart, reorth=reorth)
     return _solve(op, cfg, v0, return_eigenvectors, return_stats,
-                  mesh=mesh, strategy=strategy, select=select)
+                  shift_fn=shift_fn, mesh=mesh, strategy=strategy,
+                  select=select)
 
 
 def eigs(

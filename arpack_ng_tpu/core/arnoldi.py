@@ -122,6 +122,54 @@ def rotate_basis(Q, V, acc_dtype):
                            (((0,), (0,)), ((), ()))).astype(sdt)
 
 
+#: bucket granularity for the kev-row restart rotation (f32 sublane tile)
+_ROT_BUCKET = 8
+
+
+def rotate_basis_kev(Q, V, kev, acc_dtype, need_next: bool = True):
+    """Restart rotation ``Q^T V`` computing ONLY the surviving rows.
+
+    dsapps parity: the reference updates just columns 1..kev+1 of ``V·Q``,
+    exploiting that the rotated basis beyond the restart length is dead
+    (SRC/dsapps.f:445-481).  Here the leading ``kev`` output rows (the
+    retained basis) plus — when ``need_next`` — row ``kev`` itself (the
+    vector entering the residual update, SRC/dsaup2.f:775) are computed
+    and written back into V; rows past the bucket keep their stale
+    values, which are never read: every downstream contraction masks
+    coefficients beyond the active length to zero, and the next
+    extension writes row j before reading it.  ``kev`` is traced; the
+    output row count is bucketed to multiples of 8 via ``lax.switch`` so
+    every branch stays a static-shape contraction (same trick as the
+    bucketed CGS).  Results are bit-identical to the full rotation.
+
+    Traffic: (ncv reads + R writes) of V instead of (ncv + ncv) —
+    at the flagship's ncv=32 / kev≈9-12 that removes ~25% of the bytes
+    on the op measured at its bandwidth ceiling (docs/PERF.md).
+
+    Returns ``(V_new, v_next_row, rows_written:int32)``; ``v_next_row``
+    has the basis row shape (flatten + cast at the call site).
+    """
+    ncv = Q.shape[0]
+    nrows = kev + (1 if need_next else 0)
+    nb = max(1, -(-ncv // _ROT_BUCKET))
+    rows_list = [min((b + 1) * _ROT_BUCKET, ncv) for b in range(nb)]
+
+    def mk(R):
+        def f(_):
+            top = rotate_basis(Q[:, :R], V, acc_dtype)
+            Vn = lax.dynamic_update_slice(
+                V, top.astype(V.dtype), (0,) * V.ndim)
+            vn = lax.dynamic_index_in_dim(
+                top, jnp.minimum(kev, R - 1), axis=0, keepdims=False)
+            return Vn, vn, jnp.int32(R)
+        return f
+
+    if nb == 1:
+        return mk(ncv)(None)
+    b = jnp.minimum((jnp.maximum(nrows, 1) - 1) // _ROT_BUCKET, nb - 1)
+    return lax.switch(b, [mk(R) for R in rows_list], None)
+
+
 def _bnorm(r, br):
     """B-norm: sqrt(|<r, B r>|) (SRC/dsaitr.f:634-639; complex analog uses
     abs of the complex dot, SRC/znaitr.f)."""

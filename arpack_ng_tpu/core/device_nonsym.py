@@ -45,7 +45,7 @@ from ..utils.hoist import hoisted_jit
 from ..utils.stats import SolverStats, Timers
 from . import reduced
 from .arnoldi import (FactorizationState, make_bnorm, make_extend,
-                      make_init, rotate_basis, v_is_3d)
+                      make_init, rotate_basis_kev, v_is_3d)
 from .device_sym import CycleOut
 from .iram import IRAMResult
 
@@ -292,12 +292,13 @@ def make_cplx_cycle(op: Operator, cfg: IRAMConfig):
             betak_row = lax.dynamic_index_in_dim(Hc, nev_eff, axis=0,
                                                  keepdims=False)
             betak = betak_row[nev_eff - 1]
-            VQ = rotate_basis(Q, state.V, cdt)
-            v_next = lax.dynamic_index_in_dim(VQ, nev_eff, axis=0,
-                                              keepdims=False).reshape(-1).astype(cdt)
+            # dsapps-parity kev-row update (SRC/znapps.f analog)
+            VQ, v_next, rots = rotate_basis_kev(Q, state.V, nev_eff, cdt)
+            v_next = v_next.reshape(-1).astype(cdt)
             resid = sigmak * state.resid + betak * v_next
             b_resid = op.b_apply(resid) if is_g else resid
-            counts = state.counts.add(nbx=jnp.int32(1 if is_g else 0))
+            counts = state.counts.add(nbx=jnp.int32(1 if is_g else 0),
+                                      nrotr=rots)
             rnorm = bnorm(resid, b_resid).astype(rdt)
             return state._replace(V=VQ, H=Hc, resid=resid,
                                   b_resid=b_resid, rnorm=rnorm, k=nev_eff,

@@ -62,7 +62,7 @@ from ..utils.hoist import hoisted_jit
 from ..utils.stats import SolverStats, Timers
 from . import reduced
 from .arnoldi import (FactorizationState, make_bnorm, make_extend,
-                      make_init, rotate_basis, v_is_3d)
+                      make_init, rotate_basis_kev, v_is_3d)
 from .iram import IRAMResult
 
 #: QR-iteration sweep budget per cycle (a double shift retires a whole
@@ -476,13 +476,15 @@ def make_realnonsym_cycle(op: Operator, cfg: IRAMConfig):
             betak_row = lax.dynamic_index_in_dim(Hc, nev_eff, axis=0,
                                                  keepdims=False)
             betak = betak_row[nev_eff - 1].astype(cfg.dtype)
-            VQ = rotate_basis(Q, state.V, cfg.dtype)
-            v_next = lax.dynamic_index_in_dim(
-                VQ, nev_eff, axis=0, keepdims=False
-            ).reshape(-1).astype(cfg.dtype)
+            # dsapps-parity kev-row update (SRC/dnapps.f analog): only
+            # rows 0..nev_eff of Q^T V survive the restart
+            VQ, v_next, rots = rotate_basis_kev(Q, state.V, nev_eff,
+                                                cfg.dtype)
+            v_next = v_next.reshape(-1).astype(cfg.dtype)
             resid = sigmak * state.resid + betak * v_next
             b_resid = op.b_apply(resid) if is_g else resid
-            counts = state.counts.add(nbx=jnp.int32(1 if is_g else 0))
+            counts = state.counts.add(nbx=jnp.int32(1 if is_g else 0),
+                                      nrotr=rots)
             rnorm = bnorm(resid, b_resid).astype(
                 _dt.real_dtype(cfg.dtype))
             return state._replace(V=VQ, H=Hc.astype(cfg.dtype),

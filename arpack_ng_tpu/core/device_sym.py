@@ -50,7 +50,7 @@ from ..utils.hoist import hoisted_jit
 from ..utils.stats import SolverStats, Timers
 from . import reduced
 from .arnoldi import (FactorizationState, make_bnorm, make_extend,
-                      make_init, rotate_basis, v_is_3d)
+                      make_init, rotate_basis_kev, v_is_3d)
 from .iram import IRAMResult
 
 
@@ -76,8 +76,36 @@ class CycleOut(NamedTuple):
     bounds_s: jax.Array  # (ncv,) matching bounds
 
 
-def make_sym_cycle(op: Operator, cfg: IRAMConfig):
-    """Build the jitted fused cycle: (state, is_last) -> CycleOut."""
+class HeadOut(NamedTuple):
+    """Everything the restart tail needs from the first half of a cycle
+    (extend + dseigt + dsgets + dsconv + nev inflation) — the boundary at
+    which the reference returns to the caller with ido=3 for user shifts
+    (SRC/dsaup2.f:700-724)."""
+
+    state: FactorizationState
+    T: jax.Array         # (ncv, ncv) densified projected matrix
+    evals: jax.Array     # ascending eigenvalues of T
+    S: jax.Array         # eigenvectors of T (columns, matching evals)
+    r_s: jax.Array       # which-sorted Ritz values, nev0 arrangement
+    b_s: jax.Array       # matching bounds
+    r_si: jax.Array      # which-sorted with the INFLATED nev (differs from
+    b_si: jax.Array      #   r_s/b_s only for which='BE', dsaup2.f:690-693)
+    nconv: jax.Array     # int32
+    done: jax.Array      # bool
+    nev_eff: jax.Array   # int32, after zero-bound removal + inflation
+    np_eff: jax.Array    # int32 = ncv - nev_eff
+
+
+def make_sym_head(op: Operator, cfg: IRAMConfig, inflate: bool = True):
+    """Build the jitted cycle head: ``head(state) -> HeadOut``.
+
+    Covers dsaup2's extension through shift-count fixing: dsaitr
+    (:368,423), dseigt (:458), dsgets (:485), dsconv (:492), zero-bound
+    shift removal (:500-516) and the stagnation nev inflation (:673-693).
+    ``inflate=False`` skips the inflation, matching the reference's
+    ishift=0 behavior (the guard ``nconv < nev .and. ishift == 1`` at
+    dsaup2.f:673 — user-shift solves never inflate nev).
+    """
     if not cfg.symmetric:
         raise ValueError("fused cycle is for symmetric/Hermitian problems")
     ncv, nev0 = cfg.ncv, cfg.nev
@@ -89,13 +117,11 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
     rdt = _dt.real_dtype(cfg.dtype)
     tol = jnp.asarray(cfg.tol_effective, rdt)
     eps23 = jnp.asarray(cfg.eps23, rdt)
-    eps_m = jnp.asarray(_dt.eps(cfg.dtype), rdt)
     extend = make_extend(op, cfg)
-    is_g = op.bmat == "G"
     iota = jnp.arange(ncv)
-    bnorm = make_bnorm(op, cfg)
+    be_arrange = _make_be_arrange(ncv) if cfg.which == "BE" else None
 
-    def cycle(state: FactorizationState, is_last) -> CycleOut:
+    def head(state: FactorizationState) -> HeadOut:
         state = extend(state, jnp.int32(ncv))
 
         # ---- dseigt: Ritz values + bounds of the projected matrix ----
@@ -119,30 +145,14 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
             # sort, then [unwanted middle, low half, high half] — the
             # split depends on nev, so the permutation is index
             # arithmetic over the ascending order (re-derived with the
-            # inflated nev inside apply_shifts).
+            # inflated nev below)
             order_a = jnp.argsort(evals)
             r_a, b_a = evals[order_a], bounds[order_a]
-
-            def be_arrange(vals_a, nev):
-                # low-end share is kev//2, high-end share kev - kev//2
-                # (dsgets.f:166-171 convention; see reduced.sym_gets)
-                lo = nev // 2
-                hi = nev - lo
-                np_ = jnp.int32(ncv) - nev
-                src = jnp.where(
-                    iota < np_, lo + iota,
-                    jnp.where(iota < np_ + lo, iota - np_,
-                              (jnp.int32(ncv) - hi)
-                              + (iota - np_ - lo)))
-                return vals_a[src]
-
             r_s = be_arrange(r_a, jnp.int32(nev0))
             b_s = be_arrange(b_a, jnp.int32(nev0))
         else:
             order = jnp.argsort(_which_key(cfg.which, evals))
             r_s, b_s = evals[order], bounds[order]
-            r_a = b_a = None
-            be_arrange = None
 
         # ---- dsconv over the nev0 wanted ----
         wanted, wb = r_s[np0:], b_s[np0:]
@@ -167,113 +177,205 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
         device_trace(debug.meigt, 0,
                      "_sym_cycle: eigenvalues of T {e}", e=evals)
 
-        # ---- stagnation guard: nev inflation (dsaup2.f:673-693) ----
-        nev_inf = nev_eff + jnp.minimum(nconv, np_eff // 2)
-        nev_inf = jnp.where((nev_inf == 1) & (ncv >= 6), ncv // 2,
-                            jnp.where((nev_inf == 1) & (ncv > 3), 2,
-                                      nev_inf))
-        nev_eff = jnp.minimum(nev_inf, ncv - 1)
-        np_eff = jnp.int32(ncv) - nev_eff
+        if inflate:
+            # ---- stagnation guard: nev inflation (dsaup2.f:673-693) ----
+            nev_inf = nev_eff + jnp.minimum(nconv, np_eff // 2)
+            nev_inf = jnp.where((nev_inf == 1) & (ncv >= 6), ncv // 2,
+                                jnp.where((nev_inf == 1) & (ncv > 3), 2,
+                                          nev_inf))
+            nev_eff = jnp.minimum(nev_inf, ncv - 1)
+            np_eff = jnp.int32(ncv) - nev_eff
 
-        def apply_shifts(args):
-            state, r_s, b_s, nev_eff, np_eff = args
-            if cfg.which == "BE":
-                # the BE split moved with the inflated nev: re-derive the
-                # [middle, low, high] arrangement (the reference re-calls
-                # dsgets after inflation, SRC/dsaup2.f:690-693)
-                r_s = be_arrange(r_a, nev_eff)
-                b_s = be_arrange(b_a, nev_eff)
-            # shifts: the np_eff LEAST-WANTED values (leading positions of
-            # the which-order — the positional exclusion of dsaup2.f:516-521,
-            # which drops the trailing entries when zero-bound values shrink
-            # np), re-ordered largest Ritz estimate first for application;
-            # masked-out slots get +inf key and are skipped in the chase.
-            active0 = iota < np_eff
-            skey = jnp.where(active0[:np0], -jnp.abs(b_s[:np0]),
+        if cfg.which == "BE":
+            # the BE split moves with the inflated nev: re-derive the
+            # [middle, low, high] arrangement (the reference re-calls
+            # dsgets after inflation, SRC/dsaup2.f:690-693)
+            r_si = be_arrange(r_a, nev_eff)
+            b_si = be_arrange(b_a, nev_eff)
+        else:
+            r_si, b_si = r_s, b_s
+
+        return HeadOut(state=state, T=T, evals=evals, S=S, r_s=r_s,
+                       b_s=b_s, r_si=r_si, b_si=b_si, nconv=nconv,
+                       done=done, nev_eff=nev_eff, np_eff=np_eff)
+
+    return head
+
+
+def _make_be_arrange(ncv: int):
+    """Index-arithmetic 'BE' arrangement over the ascending order:
+    [unwanted middle, low half, high half]; low-end share is kev//2,
+    high-end share kev - kev//2 (dsgets.f:166-171 convention; see
+    reduced.sym_gets)."""
+    iota = jnp.arange(ncv)
+
+    def be_arrange(vals_a, nev):
+        lo = nev // 2
+        hi = nev - lo
+        np_ = jnp.int32(ncv) - nev
+        src = jnp.where(
+            iota < np_, lo + iota,
+            jnp.where(iota < np_ + lo, iota - np_,
+                      (jnp.int32(ncv) - hi) + (iota - np_ - lo)))
+        return vals_a[src]
+
+    return be_arrange
+
+
+def make_sym_tail(op: Operator, cfg: IRAMConfig, user_shifts: bool = False):
+    """Build the jitted restart tail: ``tail(h, is_last[, shifts])``.
+
+    The exact-shift tail (dsapps with shifts from dsgets) or — with
+    ``user_shifts`` — the ido=3 protocol tail applying a caller-supplied
+    length-np0 shift table, of which the leading np_eff entries are used
+    (SRC/dsaup2.f:700-724: the reference asks for exactly np shifts).
+    ``restart='thick'`` has no shift concept, so ``user_shifts`` requires
+    the implicit restart.
+    """
+    ncv, nev0 = cfg.ncv, cfg.nev
+    np0 = ncv - nev0
+    thick = cfg.restart == "thick"
+    if thick and user_shifts:
+        raise ValueError("user shifts require restart='implicit' "
+                         "(a thick restart applies no shifts)")
+    rdt = _dt.real_dtype(cfg.dtype)
+    eps_m = jnp.asarray(_dt.eps(cfg.dtype), rdt)
+    is_g = op.bmat == "G"
+    iota = jnp.arange(ncv)
+    bnorm = make_bnorm(op, cfg)
+
+    def apply_shifts(args):
+        state, T, r_si, b_si, nev_eff, np_eff, ushifts = args
+        active0 = iota < np_eff
+        if user_shifts:
+            # caller-supplied shifts, applied in the given order
+            # (the reference does not re-order user shifts)
+            shifts = ushifts
+            active = active0[:np0]
+        else:
+            # exact shifts: the np_eff LEAST-WANTED values (leading
+            # positions of the which-order — the positional exclusion of
+            # dsaup2.f:516-521, which drops the trailing entries when
+            # zero-bound values shrink np), re-ordered largest Ritz
+            # estimate first for application; masked-out slots get +inf
+            # key and are skipped in the chase.
+            skey = jnp.where(active0[:np0], -jnp.abs(b_si[:np0]),
                              jnp.asarray(jnp.inf, rdt))
             sperm = jnp.argsort(skey)
-            shifts = r_s[:np0][sperm]
-            active = active0[:np0]  # after sort: first np_eff still active
-            eyek = jnp.eye(ncv, dtype=rdt)
+            shifts = r_si[:np0][sperm]
+            active = active0[:np0]  # after sort: first np_eff active
+        eyek = jnp.eye(ncv, dtype=rdt)
 
-            def chase(carry, inp):
-                Tc, Qc = carry
-                mu, act = inp
+        def chase(carry, inp):
+            Tc, Qc = carry
+            mu, act = inp
 
-                def do(TQ):
-                    Tc, Qc = TQ
-                    q, _ = jnp.linalg.qr(Tc - mu * eyek)
-                    Tn = q.T @ Tc @ q
-                    dn = jnp.diag(Tn)
-                    en = 0.5 * (jnp.diag(Tn, 1) + jnp.diag(Tn, -1))
-                    Tn = (jnp.diag(dn) + jnp.diag(en, 1)
-                          + jnp.diag(en, -1))
-                    return Tn, Qc @ q
+            def do(TQ):
+                Tc, Qc = TQ
+                q, _ = jnp.linalg.qr(Tc - mu * eyek)
+                Tn = q.T @ Tc @ q
+                dn = jnp.diag(Tn)
+                en = 0.5 * (jnp.diag(Tn, 1) + jnp.diag(Tn, -1))
+                Tn = (jnp.diag(dn) + jnp.diag(en, 1)
+                      + jnp.diag(en, -1))
+                return Tn, Qc @ q
 
-                return lax.cond(act, do, lambda TQ: TQ, (Tc, Qc)), None
+            return lax.cond(act, do, lambda TQ: TQ, (Tc, Qc)), None
 
-            (Tc, Q), _ = lax.scan(chase, (T, eyek), (shifts, active))
-            dn = jnp.diag(Tc)
-            en = jnp.diag(Tc, -1)
-            # deflation sweep (dsapps.f:430-443)
-            big = jnp.abs(dn[:-1]) + jnp.abs(dn[1:])
-            en = jnp.where(jnp.abs(en) <= eps_m * big,
-                           jnp.zeros_like(en), en)
-            # subdiagonal sign normalization via diagonal similarity
-            sgn = jnp.where(en >= 0, 1.0, -1.0).astype(rdt)
-            phi = jnp.concatenate([jnp.ones((1,), rdt), jnp.cumprod(sgn)])
-            en = jnp.abs(en)
-            Q = Q * phi[None, :]
-            H_new = (jnp.diag(dn) + jnp.diag(en, 1)
-                     + jnp.diag(en, -1)).astype(cfg.dtype)
+        (Tc, Q), _ = lax.scan(chase, (T, eyek), (shifts, active))
+        dn = jnp.diag(Tc)
+        en = jnp.diag(Tc, -1)
+        # deflation sweep (dsapps.f:430-443)
+        big = jnp.abs(dn[:-1]) + jnp.abs(dn[1:])
+        en = jnp.where(jnp.abs(en) <= eps_m * big,
+                       jnp.zeros_like(en), en)
+        # subdiagonal sign normalization via diagonal similarity
+        sgn = jnp.where(en >= 0, 1.0, -1.0).astype(rdt)
+        phi = jnp.concatenate([jnp.ones((1,), rdt), jnp.cumprod(sgn)])
+        en = jnp.abs(en)
+        Q = Q * phi[None, :]
+        H_new = (jnp.diag(dn) + jnp.diag(en, 1)
+                 + jnp.diag(en, -1)).astype(cfg.dtype)
 
-            sigmak = Q[ncv - 1, nev_eff - 1].astype(cfg.dtype)
-            betak = jnp.where(nev_eff < ncv, en[nev_eff - 1],
-                              jnp.zeros((), rdt)).astype(cfg.dtype)
-            VQ = rotate_basis(Q, state.V, cfg.dtype)
-            v_next = lax.dynamic_index_in_dim(
-                VQ, nev_eff, axis=0, keepdims=False
-            ).reshape(-1).astype(cfg.dtype)
-            resid = sigmak * state.resid + betak * v_next
-            b_resid = op.b_apply(resid) if is_g else resid
-            counts = state.counts.add(
-                nbx=jnp.int32(1 if is_g else 0))
-            rnorm = bnorm(resid, b_resid).astype(rdt)
-            return state._replace(V=VQ, H=H_new, resid=resid,
-                                  b_resid=b_resid, rnorm=rnorm, k=nev_eff,
-                                  nev_cur=nev_eff, iter=state.iter + 1,
-                                  counts=counts)
+        sigmak = Q[ncv - 1, nev_eff - 1].astype(cfg.dtype)
+        betak = jnp.where(nev_eff < ncv, en[nev_eff - 1],
+                          jnp.zeros((), rdt)).astype(cfg.dtype)
+        # dsapps-parity kev-row update: only rows 0..nev_eff of Q^T V
+        # survive the restart (SRC/dsapps.f:445-481)
+        VQ, v_next, rots = rotate_basis_kev(Q, state.V, nev_eff,
+                                            cfg.dtype)
+        v_next = v_next.reshape(-1).astype(cfg.dtype)
+        resid = sigmak * state.resid + betak * v_next
+        b_resid = op.b_apply(resid) if is_g else resid
+        counts = state.counts.add(
+            nbx=jnp.int32(1 if is_g else 0), nrotr=rots)
+        rnorm = bnorm(resid, b_resid).astype(rdt)
+        return state._replace(V=VQ, H=H_new, resid=resid,
+                              b_resid=b_resid, rnorm=rnorm, k=nev_eff,
+                              nev_cur=nev_eff, iter=state.iter + 1,
+                              counts=counts)
 
-        def thick_restart(args):
-            """Krylov-Schur-class restart: keep the wanted nev_eff Ritz
-            vectors directly (V <- S_kept^T V), H <- diag(theta_kept),
-            resid/rnorm UNCHANGED — the residual couples to every kept
-            vector through the arrow entries, which the next extension
-            step's CGS projections deliver into H's upper triangle.
-            Mathematically equivalent to the implicit exact-shift chase
-            (Wu & Simon 2000), with no bulge-chase rounding."""
-            state, r_s, b_s, nev_eff, np_eff = args
-            # arrange kept (wanted) eigen-indices first: positions
-            # p >= np_eff of `order` are the wanted ones; stable argsort
-            # of the unwanted flag puts them first in ascending order
-            src = order[jnp.argsort(iota < np_eff, stable=True)]
-            theta = evals[src]
-            VQ = rotate_basis(S[:, src].astype(rdt), state.V, cfg.dtype)
-            H_new = jnp.diag(jnp.where(iota < nev_eff, theta,
-                                       jnp.zeros((), rdt))
-                             ).astype(cfg.dtype)
-            return state._replace(V=VQ, H=H_new, k=nev_eff,
-                                  nev_cur=nev_eff, iter=state.iter + 1)
+    def thick_restart(args):
+        """Krylov-Schur-class restart: keep the wanted nev_eff Ritz
+        vectors directly (V <- S_kept^T V), H <- diag(theta_kept),
+        resid/rnorm UNCHANGED — the residual couples to every kept
+        vector through the arrow entries, which the next extension
+        step's CGS projections deliver into H's upper triangle.
+        Mathematically equivalent to the implicit exact-shift chase
+        (Wu & Simon 2000), with no bulge-chase rounding."""
+        state, T, evals, S, nev_eff, np_eff = args
+        # arrange kept (wanted) eigen-indices first: positions
+        # p >= np_eff of `order` are the wanted ones; stable argsort
+        # of the unwanted flag puts them first in ascending order
+        order = jnp.argsort(_which_key(cfg.which, evals))
+        src = order[jnp.argsort(iota < np_eff, stable=True)]
+        theta = evals[src]
+        # only the kept nev_eff rows are live after a thick restart
+        # (resid is unchanged; no v_next row is consumed)
+        VQ, _, rots = rotate_basis_kev(S[:, src].astype(rdt), state.V,
+                                       nev_eff, cfg.dtype,
+                                       need_next=False)
+        H_new = jnp.diag(jnp.where(iota < nev_eff, theta,
+                                   jnp.zeros((), rdt))
+                         ).astype(cfg.dtype)
+        return state._replace(V=VQ, H=H_new, k=nev_eff,
+                              nev_cur=nev_eff, iter=state.iter + 1,
+                              counts=state.counts.add(nrotr=rots))
+
+    def tail(h: HeadOut, is_last, shifts=None) -> CycleOut:
+        if user_shifts:
+            ush = jnp.asarray(shifts, rdt)
+        else:
+            ush = jnp.zeros((np0,), rdt)
 
         def skip_shifts(args):
             state = args[0]
             return state._replace(iter=state.iter + 1)
 
-        state = lax.cond(done | is_last, skip_shifts,
-                         thick_restart if thick else apply_shifts,
-                         (state, r_s, b_s, nev_eff, np_eff))
-        return CycleOut(state=state, done=done, nconv=nconv, ritz_s=r_s,
-                        bounds_s=b_s)
+        if thick:
+            state = lax.cond(
+                h.done | is_last, lambda a: skip_shifts((a[0],)),
+                thick_restart,
+                (h.state, h.T, h.evals, h.S, h.nev_eff, h.np_eff))
+        else:
+            state = lax.cond(
+                h.done | is_last, lambda a: skip_shifts((a[0],)),
+                apply_shifts,
+                (h.state, h.T, h.r_si, h.b_si, h.nev_eff, h.np_eff, ush))
+        return CycleOut(state=state, done=h.done, nconv=h.nconv,
+                        ritz_s=h.r_s, bounds_s=h.b_s)
+
+    return tail
+
+
+def make_sym_cycle(op: Operator, cfg: IRAMConfig):
+    """Build the jitted fused cycle: (state, is_last) -> CycleOut —
+    head and exact-shift tail composed into one traced computation."""
+    head = make_sym_head(op, cfg)
+    tail = make_sym_tail(op, cfg)
+
+    def cycle(state: FactorizationState, is_last) -> CycleOut:
+        return tail(head(state), is_last)
 
     return cycle
 
@@ -320,7 +422,7 @@ class FusedSymSolver:
     cycle (the `done` scalar)."""
 
     def __init__(self, op: Operator, cfg: IRAMConfig, mesh=None,
-                 cycles_per_dispatch: int = 16):
+                 cycles_per_dispatch: int = 16, shift_fn=None):
         if mesh is not None and cfg.cgs_kernel == "pallas":
             # a pallas_call has no GSPMD partitioning rule: it would
             # force gathers of the row-sharded basis ('auto' already
@@ -332,18 +434,34 @@ class FusedSymSolver:
         #: while_loop exits early on convergence, so large values cost
         #: nothing extra beyond coarser host-side progress visibility)
         self.cycles_per_dispatch = cycles_per_dispatch
-        if not cfg.exact_shifts:
-            raise ValueError("fused path requires exact shifts")
+        #: ido=3 analog (iparam(1)=0): per-cycle user shifts.  The fused
+        #: loop splits into two dispatches per cycle around the host
+        #: callback (head -> shift_fn(ritz, bounds) -> tail), the exact
+        #: fused equivalent of the reference's ido=3 return
+        #: (SRC/dsaup2.f:700-724).
+        self.shift_fn = shift_fn
+        if cfg.exact_shifts and shift_fn is not None:
+            raise ValueError("shift_fn requires exact_shifts=False "
+                             "(reference iparam(1)=0, ishift=0)")
+        if not cfg.exact_shifts and shift_fn is None:
+            raise ValueError("exact_shifts=False requires a shift_fn")
         init = make_init(op, cfg, v3d=v_is_3d(cfg, mesh))
-        cycle = make_sym_cycle(op, cfg)
-        multi = make_sym_multi_cycle(op, cfg)
+        user = shift_fn is not None
+        cycle = None if user else make_sym_cycle(op, cfg)
+        multi = None if user else make_sym_multi_cycle(op, cfg)
+        head = make_sym_head(op, cfg, inflate=not user) if user else None
+        tailu = make_sym_tail(op, cfg, user_shifts=True) if user else None
         if mesh is None:
             # hoisted_jit keeps operator data (dense/DIA/banded/ILU
             # arrays) out of the lowered module (utils/hoist.py)
             self._init_rand = hoisted_jit(lambda key: init(key, None))
             self._init_v0 = hoisted_jit(init)
-            self._cycle = hoisted_jit(cycle, donate_argnums=(0,))
-            self._multi = hoisted_jit(multi, donate_argnums=(0,))
+            if user:
+                self._head = hoisted_jit(head, donate_argnums=(0,))
+                self._tailu = hoisted_jit(tailu, donate_argnums=(0,))
+            else:
+                self._cycle = hoisted_jit(cycle, donate_argnums=(0,))
+                self._multi = hoisted_jit(multi, donate_argnums=(0,))
         else:
             from ..parallel.sharding import replicated, state_shardings
             st_sh = state_shardings(mesh, v3d=v_is_3d(cfg, mesh))
@@ -357,12 +475,24 @@ class FusedSymSolver:
                                       out_shardings=st_sh)
             self._init_v0 = jax.jit(init, in_shardings=(rep, st_sh.resid),
                                     out_shardings=st_sh)
-            self._cycle = jax.jit(
-                cycle, donate_argnums=(0,),
-                in_shardings=(st_sh, rep), out_shardings=out_sh)
-            self._multi = jax.jit(
-                multi, donate_argnums=(0,),
-                in_shardings=(st_sh, rep, rep), out_shardings=out_sh)
+            if user:
+                h_sh = HeadOut(state=st_sh, T=rep, evals=rep, S=rep,
+                               r_s=rep, b_s=rep, r_si=rep, b_si=rep,
+                               nconv=rep, done=rep, nev_eff=rep,
+                               np_eff=rep)
+                self._head = jax.jit(head, donate_argnums=(0,),
+                                     in_shardings=(st_sh,),
+                                     out_shardings=h_sh)
+                self._tailu = jax.jit(
+                    tailu, donate_argnums=(0,),
+                    in_shardings=(h_sh, rep, rep), out_shardings=out_sh)
+            else:
+                self._cycle = jax.jit(
+                    cycle, donate_argnums=(0,),
+                    in_shardings=(st_sh, rep), out_shardings=out_sh)
+                self._multi = jax.jit(
+                    multi, donate_argnums=(0,),
+                    in_shardings=(st_sh, rep, rep), out_shardings=out_sh)
 
     def init_state(self, key=None, v0=None) -> FactorizationState:
         if key is None:
@@ -379,7 +509,73 @@ class FusedSymSolver:
             v0 = v0p
         return self._init_v0(key, jnp.asarray(v0, self.cfg.dtype))
 
+    def _solve_user_shifts(self, key, v0, state) -> IRAMResult:
+        """Restart loop with caller-supplied shifts: two dispatches per
+        cycle around the host ``shift_fn`` callback (the ido=3 protocol,
+        SRC/dsaup2.f:700-724)."""
+        cfg = self.cfg
+        np0 = cfg.ncv - cfg.nev
+        rdt = _dt.real_dtype(cfg.dtype)
+        timers = Timers()
+        with timers.timed("taupd"):
+            if state is None:
+                with timers.timed("tgetv0"):
+                    state = self.init_state(key=key, v0=v0)
+            if int(jax.device_get(state.info)) < 0:
+                z = np.zeros(cfg.ncv)
+                return self._result(state, z, z, 0, int(state.info), 0,
+                                    timers)
+            while True:
+                with timers.timed("taitr"):
+                    h = self._head(state)
+                    # ONE batched readback per cycle (relay round trips
+                    # are the latency cost of host shifts)
+                    (done_h, nconv_h, it_h, info_h, r_s, b_s, r_si, b_si,
+                     np_eff_h) = jax.device_get(
+                        (h.done, h.nconv, h.state.iter, h.state.info,
+                         h.r_s, h.b_s, h.r_si, h.b_si, h.np_eff))
+                it = int(it_h) + 1
+                info = int(info_h)
+                if info != 0:
+                    return self._result(h.state, np.zeros(cfg.ncv),
+                                        np.zeros(cfg.ncv), 0,
+                                        -9999 if info > 0 else info, it,
+                                        timers)
+                if bool(done_h) or it >= cfg.max_iter:
+                    state = h.state
+                    break
+                np_eff = int(np_eff_h)
+                with timers.timed("tgets"):
+                    shifts = np.asarray(self.shift_fn(
+                        np.asarray(r_si[:np_eff], np.float64).copy(),
+                        np.asarray(b_si[:np_eff], np.float64).copy()))
+                if shifts.shape[0] < np_eff:
+                    raise ValueError(
+                        f"shift_fn returned {shifts.shape[0]} shifts; "
+                        f"{np_eff} required (reference ido=3 contract)")
+                sh = np.zeros((np0,), np.float64)
+                sh[:np_eff] = shifts[:np_eff].real
+                with timers.timed("tapps"):
+                    out = self._tailu(h, jnp.bool_(False),
+                                      jnp.asarray(sh, rdt))
+                    state = out.state
+        nconv = int(nconv_h)
+        r_x, b_x = reduced.exit_sort(
+            cfg.which, cfg.nev, nconv,
+            np.asarray(r_s, np.float64).copy(),
+            np.asarray(b_s, np.float64).copy(), cfg.eps23, True, False)
+        info = 0
+        if it >= cfg.max_iter and nconv < cfg.nev:
+            info = 1
+        np_rem = int(np.count_nonzero(
+            np.asarray(b_s)[: cfg.ncv - cfg.nev] == 0))
+        if (cfg.ncv - cfg.nev - np_rem) == 0 and nconv < cfg.nev:
+            info = 2
+        return self._result(state, r_x, b_x, nconv, info, it, timers)
+
     def solve(self, key=None, v0=None, state=None) -> IRAMResult:
+        if self.shift_fn is not None:
+            return self._solve_user_shifts(key, v0, state)
         cfg = self.cfg
         timers = Timers()
         with timers.timed("taupd"):

@@ -35,7 +35,7 @@ from ..utils.hoist import hoisted_jit
 from ..utils.stats import SolverStats, Timers
 from . import reduced
 from .arnoldi import (FactorizationState, make_bnorm, make_extend,
-                      make_init, rotate_basis, v_is_3d)
+                      make_init, rotate_basis_kev, v_is_3d)
 
 
 @dataclasses.dataclass
@@ -122,18 +122,18 @@ class IRAMSolver:
         (SRC/dsapps.f:452-501, SRC/dsaup2.f:764-808): V <- Q^T V,
         r <- sigmak*r + betak*(V Q)_{kev+1}, then rnorm = ||r||_B."""
         op = self.op
-        # (ncv,ncv)@(ncv,...) GEMM, layout-generic (contracts V's dim 0)
-        VQ = rotate_basis(Q, state.V, self.cfg.dtype)
-        v_next = jax.lax.dynamic_index_in_dim(
-            VQ, kev, axis=0, keepdims=False).reshape(-1).astype(
-            self.cfg.dtype)
+        # dsapps-parity kev-row update: only rows 0..kev of Q^T V survive
+        # the restart (SRC/dsapps.f:445-481); layout-generic GEMM
+        VQ, v_next, rots = rotate_basis_kev(Q, state.V, kev,
+                                            self.cfg.dtype)
+        v_next = v_next.reshape(-1).astype(self.cfg.dtype)
         resid = sigmak * state.resid + betak * v_next
         if op.bmat == "G":
             b_resid = op.b_apply(resid)
-            counts = state.counts.add(nbx=jnp.int32(1))
+            counts = state.counts.add(nbx=jnp.int32(1), nrotr=rots)
         else:
             b_resid = resid
-            counts = state.counts
+            counts = state.counts.add(nrotr=rots)
         rnorm = make_bnorm(op, self.cfg)(resid, b_resid).astype(self._rdt)
         return state._replace(V=VQ, H=H_new, resid=resid, b_resid=b_resid,
                               rnorm=rnorm, k=kev, nev_cur=kev,

@@ -73,7 +73,13 @@ def load_state(path, cfg: Optional[IRAMConfig] = None
         if meta["resid_only"]:
             meta["resid"] = z["resid"]
             return None, meta
-        counts = OpCounts(*[jax.numpy.asarray(c) for c in z["counts"]])
+        # counters are stored positionally; older checkpoints may carry
+        # fewer of them — missing trailing counters resume from zero
+        cvals = [jax.numpy.asarray(c) for c in z["counts"]]
+        nfields = len(OpCounts._fields)
+        cvals = (cvals + [jax.numpy.zeros((), jax.numpy.int32)]
+                 * (nfields - len(cvals)))[:nfields]
+        counts = OpCounts(*cvals)
         state = FactorizationState(
             V=jax.numpy.asarray(z["V"]),
             H=jax.numpy.asarray(z["H"]),

@@ -30,11 +30,16 @@ class OpCounts(NamedTuple):
     nitref: jnp.ndarray  # number of iterative-refinement passes taken
     nrstrt: jnp.ndarray  # number of invariant-subspace restarts (dgetv0 calls
     #                      from inside the Arnoldi step, SRC/dsaitr.f:397)
+    nrotr: jnp.ndarray   # total basis rows WRITTEN by restart rotations —
+    #                      the dsapps kev-column update (SRC/dsapps.f:445-481)
+    #                      writes only the surviving rows, so this feeds the
+    #                      honest rotation-traffic model in bench.py.
+    #                      No reference stat.h analog (extension).
 
     @classmethod
     def zeros(cls) -> "OpCounts":
         z = jnp.zeros((), jnp.int32)
-        return cls(z, z, z, z, z)
+        return cls(z, z, z, z, z, z)
 
     def add(self, **deltas) -> "OpCounts":
         return self._replace(
@@ -99,6 +104,7 @@ class SolverStats:
     nrorth: int = 0
     nitref: int = 0
     nrstrt: int = 0
+    nrotr: int = 0
     timers: Timers = dataclasses.field(default_factory=Timers)
 
     def absorb_counts(self, counts: OpCounts) -> None:

@@ -30,14 +30,16 @@ production solver (matvec + orthogonalization + basis updates), as nnz/s
   traffic (32 B/point per recurrence step — stencil + V-row write +
   v_{j-1} read + residual update, the model validated piecewise by
   benchmarks/bench_step_breakdown.py — plus 2 V-passes per
-  reorthogonalization pass and per restart rotation), divided by our
-  wall.  This is the honest "fraction of our own speed of light".
+  reorthogonalization pass and the kev-row restart rotation at its
+  counted written-rows traffic), divided by our wall.  This is the
+  honest "fraction of our own speed of light".
 * ``vs_achievable`` (diagnostic): same production traffic charged at the
   chip's MEASURED per-pattern bandwidth ceilings (420 GB/s contiguous
-  r+w stream, 610 GB/s read-dominated pass pair, 280 GB/s 1:1
-  rotation GEMM — docs/PERF.md machine-characteristics table), divided
-  by our wall.  The gap between vs_self and vs_achievable is machine
-  (nominal-vs-delivered bandwidth), not software.
+  r+w stream, 610 GB/s read-dominated pass pair, 515 GB/s kev-row
+  rotation under the best known XLA schedule — docs/PERF.md
+  machine-characteristics tables, benchmarks/bench_rot_partial.py),
+  divided by our wall.  The gap between vs_self and vs_achievable is
+  delivered-vs-nominal bandwidth, not software.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "nnz/s", "vs_baseline": N,
@@ -92,7 +94,7 @@ def main():
         out = solver._multi(state, jnp.int32(2), jnp.int32(10_000))
         float(jax.device_get(out.state.rnorm))
 
-        tot = dict(dt=0.0, cycles=0, matvecs=0, refines=0, extra=0)
+        tot = dict(dt=0.0, cycles=0, matvecs=0, refines=0, extra=0, rotr=0)
         seed = 1000
         while tot["cycles"] < target_cycles:
             state = solver.init_state(jax.random.key(seed))
@@ -110,6 +112,7 @@ def main():
             tot["matvecs"] += int(c1.nopx) - int(c0.nopx)
             tot["refines"] += int(c1.nrorth) - int(c0.nrorth)
             tot["extra"] += int(c1.nitref) - int(c0.nitref)
+            tot["rotr"] += int(c1.nrotr) - int(c0.nrotr)
         return tot
 
     ref = measure(make_solver("dgks"))        # the reference algorithm
@@ -128,45 +131,56 @@ def main():
 
     itemsize = np.dtype(dtype).itemsize
     v_bytes = ncv * n_pad * itemsize
+    row_bytes = n_pad * itemsize
     bw_bytes = 819e9                          # v5e HBM
+
+    # Restart-rotation traffic (both algorithms): the dsapps kev-column
+    # update (SRC/dsapps.f:445-481) reads all ncv basis rows and writes
+    # only the surviving bucket — rows actually written are counted by
+    # the solver (OpCounts.nrotr), so the model charges the real bytes:
+    # cycles full-V reads + nrotr row writes.
+    rot_bytes = prod["cycles"] * v_bytes + prod["rotr"] * row_bytes
 
     # ---- roofline 1: the REFERENCE algorithm's traffic -------------------
     # Per step CGS reads V twice (projection + update,
     # SRC/dsaitr.f:570-583); each DGKS refinement adds two more passes
     # (:656-781); the stencil matvec streams ~12 B/point; the end-of-cycle
-    # rotation V <- Q^T V streams V twice (dsapps V*Q).  DGKS rate = min
-    # of the timed-window rate and the realistic-tol rate.
+    # rotation is the kev-column dsapps update (same schedule as ours —
+    # charging the reference its own kev-column traffic, not the full
+    # rotation, keeps this roofline honest).  DGKS rate = min of the
+    # timed-window rate and the realistic-tol rate.
     rate_win = ref["refines"] / max(ref["matvecs"], 1)
     ref_rate = min(rate_win, rate_real)
     steps = prod["matvecs"]
     ref_traffic = (steps * 2 * v_bytes
                    + ref_rate * steps * 2 * v_bytes
                    + steps * 12 * n
-                   + prod["cycles"] * 2 * v_bytes)
+                   + rot_bytes)
     vs_ref = (ref_traffic / bw_bytes) / prod["dt"]
 
     # ---- roofline 2: the PRODUCTION algorithm's OWN traffic --------------
     # 32 B/point per recurrence step (benchmarks/bench_step_breakdown.py:
     # resid read + V-row write + stencil in/out + w + v_{j-1} read +
     # r write, conservatively fused), 2 V-passes per reorth pass
-    # (events + extra DGKS passes), 2 V-passes per restart rotation.
+    # (events + extra DGKS passes), kev-row rotation per restart.
     self_traffic = (steps * 32 * n
                     + (prod["refines"] + prod["extra"]) * 2 * v_bytes
-                    + prod["cycles"] * 2 * v_bytes)
+                    + rot_bytes)
     vs_self = (self_traffic / bw_bytes) / prod["dt"]
 
     # ---- diagnostic: wall vs the MEASURED per-pattern ceilings -----------
     # vs_self above charges every byte at the 819 GB/s nominal.  The chip
-    # does not deliver nominal on any pattern (docs/PERF.md round-3
-    # machine-characteristics table): contiguous r+w streams ~420 GB/s,
-    # read-dominated CGS pass pairs ~610 GB/s, and the 1:1 read:write
-    # rotation GEMM ~280 GB/s (its machine ceiling — the best hand Pallas
-    # schedule ties XLA there, benchmarks/bench_rot_pallas.py).  The
-    # achievable-wall below uses those measured ceilings per component;
-    # wall/achievable says how much is left for SOFTWARE to recover.
+    # does not deliver nominal on any pattern (docs/PERF.md round-3/4
+    # machine-characteristics tables): contiguous r+w streams ~420 GB/s,
+    # read-dominated CGS pass pairs ~610 GB/s, and the read-dominated
+    # kev-row rotation ~515 GB/s delivered under the best known XLA
+    # schedule (benchmarks/bench_rot_partial.py — a best-known-schedule
+    # ceiling, not a direct hardware measurement).  The achievable-wall
+    # below uses those measured ceilings per component; wall/achievable
+    # says how much is left for SOFTWARE to recover.
     achievable = (steps * 32 * n / 420e9
                   + (prod["refines"] + prod["extra"]) * 2 * v_bytes / 610e9
-                  + prod["cycles"] * 2 * v_bytes / 280e9)
+                  + rot_bytes / 515e9)
     vs_achievable = achievable / prod["dt"]
 
     ref_per_mv = ref["dt"] / max(ref["matvecs"], 1)

@@ -74,6 +74,91 @@ class TestUserShifts:
         with pytest.raises(ValueError, match="shift_fn"):
             IRAMSolver(op, cfg)
 
+    def test_fused_driver_user_shifts(self):
+        """ishift=0 through the FUSED symmetric driver: two dispatches
+        per cycle around the host shift_fn (dsaup2.f:700-724 parity,
+        round-3 verdict item)."""
+        from arpack_ng_tpu.core.device_sym import FusedSymSolver
+        n = 200
+        d = np.linspace(1, 60, n)
+        op = at.from_diagonal(d, n_pad=at.pad_dim(n))
+        calls = []
+
+        def shift_fn(ritz_unwanted, bounds_unwanted):
+            calls.append(len(ritz_unwanted))
+            order = np.argsort(-np.abs(bounds_unwanted))
+            return ritz_unwanted[order]
+
+        cfg = IRAMConfig(n=n, nev=4, ncv=14, which="LA", symmetric=True,
+                         dtype=np.float64, n_pad=op.n_pad, tol=1e-10,
+                         max_iter=500, exact_shifts=False)
+        solver = FusedSymSolver(op, cfg, shift_fn=shift_fn)
+        res = solver.solve()
+        assert res.nconv >= 4
+        assert len(calls) >= 1
+        out = extract(op, cfg, res)
+        np.testing.assert_allclose(np.sort(out.values),
+                                   np.sort(d)[-4:], rtol=1e-9)
+
+    def test_eigsh_shift_fn_runs_fused(self):
+        """eigsh(shift_fn=...) + strategy='auto' solves through the fused
+        driver (no silent hybrid fallback)."""
+        n = 150
+        d = np.linspace(2, 30, n)
+
+        def shift_fn(ritz_unwanted, bounds_unwanted):
+            return ritz_unwanted
+
+        vals, vecs = at.eigsh(at.from_diagonal(d, n_pad=at.pad_dim(n)),
+                              k=3, which="LA", ncv=12, tol=1e-8,
+                              maxiter=400, dtype=np.float64,
+                              shift_fn=shift_fn)
+        np.testing.assert_allclose(np.sort(vals), np.sort(d)[-3:],
+                                   rtol=1e-7)
+
+    def test_fused_exact_shifts_reject_shift_fn(self):
+        from arpack_ng_tpu.core.device_sym import FusedSymSolver
+        op = at.from_diagonal(np.arange(1.0, 101.0))
+        cfg = IRAMConfig(n=100, nev=3, ncv=10, which="LA", symmetric=True,
+                         dtype=np.float64, n_pad=op.n_pad)
+        with pytest.raises(ValueError, match="exact_shifts"):
+            FusedSymSolver(op, cfg, shift_fn=lambda r, b: r)
+
+
+class TestThickSelectiveGuard:
+    """restart='thick' breaks the omega recurrence: reorth='auto' must
+    resolve to 'dgks' there, and an explicit selective+thick combination
+    warns (measured 2.8x, docs/PERF.md round-3)."""
+
+    def test_auto_resolution(self):
+        from arpack_ng_tpu.api import _resolve_sym_reorth
+        assert _resolve_sym_reorth("auto", "implicit") == "selective"
+        assert _resolve_sym_reorth("auto", "thick") == "dgks"
+        assert _resolve_sym_reorth("dgks", "thick") == "dgks"
+        assert _resolve_sym_reorth("selective", "implicit") == "selective"
+
+    def test_explicit_selective_thick_warns(self):
+        import warnings
+        from arpack_ng_tpu.api import _resolve_sym_reorth
+        with pytest.warns(UserWarning, match="omega recurrence"):
+            out = _resolve_sym_reorth("selective", "thick")
+        assert out == "selective"  # explicit choice is honored
+        d = np.linspace(1, 20, 80)
+        with pytest.warns(UserWarning, match="2.8x"):
+            vals = at.eigsh(at.from_diagonal(d, n_pad=at.pad_dim(80)),
+                            k=3, which="LA", ncv=10, tol=1e-6,
+                            maxiter=300, dtype=np.float64,
+                            restart="thick", reorth="selective",
+                            return_eigenvectors=False)
+        np.testing.assert_allclose(np.sort(vals), np.sort(d)[-3:],
+                                   rtol=1e-5)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # auto+thick must NOT warn
+            at.eigsh(at.from_diagonal(d, n_pad=at.pad_dim(80)), k=3,
+                     which="LA", ncv=10, tol=1e-6, maxiter=300,
+                     dtype=np.float64, restart="thick",
+                     return_eigenvectors=False)
+
 
 class TestComplexShiftRealArithmetic:
     """dndrv5/dndrv6-class: complex sigma on a real problem, modes 3/4
