@@ -69,6 +69,7 @@ def svds(
     dtype=None,
     seed: int = 0,
     method: str = "normal",
+    mesh=None,
 ):
     """Compute the k largest (``which='LM'``, dsvd behavior) or smallest
     (``'SM'``) singular triplets.  Returns (u, s, vh) with s ascending,
@@ -77,7 +78,12 @@ def svds(
     ``method='normal'`` is the reference's Gram-operator construction
     (dsvd.f:60); ``method='augmented'`` uses the cyclic operator
     [[0, A], [A^H, 0]] for kappa- instead of kappa^2-limited accuracy
-    (``which='LM'`` only)."""
+    (``which='LM'`` only).
+
+    ``mesh``: optional jax.sharding.Mesh — the Lanczos basis and iterates
+    are row-sharded over the Gram (or cyclic) dimension exactly as in
+    ``eigsh(..., mesh=)``; the A/A^H applies run under GSPMD (beyond the
+    reference: EXAMPLES/SVD/dsvd.f is sequential)."""
     if A is not None:
         av, ahv, m, n, dt = _matvec_pair_from(A, dtype)
     else:
@@ -93,7 +99,8 @@ def svds(
         if which != "LM":
             raise ValueError("method='augmented' supports which='LM' only")
         return _svds_augmented(av, ahv, m, n, np.dtype(dt), k, ncv, tol,
-                               maxiter, return_singular_vectors, seed)
+                               maxiter, return_singular_vectors, seed,
+                               mesh=mesh)
 
     use_gram_right = n <= m   # Lanczos on A^H A (dim n) vs A A^H (dim m)
     dim = n if use_gram_right else m
@@ -128,7 +135,7 @@ def svds(
     # would pay the ~2x general-complex cost here)
     vals, vecs = _api.eigsh(op, k=k, which=w_map[which], ncv=ncv,
                             tol=tol, maxiter=maxiter if maxiter else 600,
-                            seed=seed)
+                            seed=seed, mesh=mesh)
     vals = np.maximum(vals, 0.0)
     s = np.sqrt(vals)
     order = np.argsort(s, kind="stable")   # ascending, scipy convention
@@ -160,7 +167,7 @@ def svds(
 
 
 def _svds_augmented(av, ahv, m, n, dt, k, ncv, tol, maxiter,
-                    return_singular_vectors, seed):
+                    return_singular_vectors, seed, mesh=None):
     """Largest-k triplets via Lanczos on C = [[0, A], [A^H, 0]] (dim m+n).
 
     C is Hermitian with eigenvalues ±sigma_i (and |m-n| zeros); the
@@ -185,7 +192,8 @@ def _svds_augmented(av, ahv, m, n, dt, k, ncv, tol, maxiter,
                   bmat="I", mode=1, a_apply=cyc, n_pad=dim_pad,
                   hermitian=True)
     vals, vecs = _api.eigsh(op, k=k, which="LA", ncv=ncv, tol=tol,
-                            maxiter=maxiter if maxiter else 600, seed=seed)
+                            maxiter=maxiter if maxiter else 600, seed=seed,
+                            mesh=mesh)
     s = np.maximum(np.asarray(vals, dtype=np.float64), 0.0)
     order = np.argsort(s, kind="stable")   # ascending, scipy convention
     s = s[order]

@@ -11,6 +11,16 @@ Here the explicit :class:`FactorizationState` pytree is serialized whole
 the reference's resid-only restart: resuming continues mid-factorization
 with zero recomputation.  ``save_resid_only=True`` reproduces the exact
 reference semantics (restart = new solve seeded with the saved resid).
+
+Dump cadence with the fused drivers: the multi-cycle drivers
+(core/device_sym.py etc.) run up to ``cycles_per_dispatch`` restart cycles
+inside ONE on-device while_loop, so state is host-observable — and hence
+dumpable — only at dispatch boundaries (every ``cycles_per_dispatch``
+cycles, or earlier on convergence).  A dump at any such boundary resumes
+exactly, independent of the resuming solver's own ``cycles_per_dispatch``
+(the state carries no dispatch bookkeeping); the hybrid driver exposes
+every cycle.  Tested by tests/test_io_cli.py::
+test_fused_multicycle_dispatch_boundary_resume.
 """
 from __future__ import annotations
 

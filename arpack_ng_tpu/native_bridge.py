@@ -209,8 +209,19 @@ def solve(options: str, buf_a=None, buf_p=None, buf_i=None, buf_v=None,
         return {"info": int(res.info), "nconv": 0}
 
     rvec = bool(opt.get("rvec", True))
+    # howmny='S' select mask from C (atpu_set_select): '0'/'1' string,
+    # positional over the final factorization's Ritz values
+    sel_s = opt.get("select") or ""
+    select = None
+    if sel_s:
+        select = np.zeros(cfg.ncv, dtype=bool)
+        m_len = min(len(sel_s), cfg.ncv)
+        select[:m_len] = np.frombuffer(
+            sel_s[:m_len].encode(), dtype=np.uint8) == ord("1")
     out = extract(op, cfg, res, rvec=rvec,
-                  howmny="P" if opt.get("schur") else "A")
+                  howmny="P" if opt.get("schur")
+                  else ("S" if select is not None else "A"),
+                  select=select)
     vals = np.atleast_1d(np.asarray(out.values))
     nconv = int(out.nconv)
     ret = {

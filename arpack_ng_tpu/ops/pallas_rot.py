@@ -69,6 +69,56 @@ def make_rotate(ncv: int, npan: int, v_dtype: str, acc_dtype: str,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def make_rotate_rows(ncv: int, rows: int, npan: int, v_dtype: str,
+                     acc_dtype: str, panels: int = DEFAULT_PANELS,
+                     interpret: bool = False):
+    """Build the IN-PLACE kev-row restart rotation: ``rot(q, V) -> V'``
+    with ``V'[:rows] = (Q[:, :rows])^T V`` and ``V'[rows:]`` the ORIGINAL
+    buffer contents (``input_output_aliases`` — V is donated into the
+    output, rows past ``rows`` are simply never touched).
+
+    Why a kernel (measured, round 4): expressing this as
+    ``dot + dynamic_update_slice`` makes XLA's layout assignment pick a
+    ``{2,0,1}`` layout for the basis inside the fused-cycle while-loop
+    and insert full-V layout-conversion copies — costing more than the
+    partial rotation saves.  The kernel pins the standard layout and
+    writes exactly (ncv reads + rows writes) rows of traffic, the
+    dsapps-parity minimum (SRC/dsapps.f:445-481).
+
+    Safety of the alias: grid steps stream disjoint panel groups; each
+    step loads its (ncv, P, 128) input block to VMEM before storing its
+    (rows, P, 128) output block over the same panels, and prefetch of
+    step i+1 touches panels step i does not store.
+    """
+    vdt = jnp.dtype(v_dtype)
+    adt = jnp.dtype(acc_dtype)
+    P = panels
+    while P >= 8 and npan % P:
+        P -= 8
+    if P < 8 or npan % P:
+        raise ValueError(f"npan={npan} needs a multiple-of-8 panel block")
+    grid = (npan // P,)
+
+    def kernel(q_ref, v_ref, o_ref):
+        q = q_ref[...]                     # (ncv, rows)
+        blk = v_ref[...].reshape(ncv, P * LANE)
+        out = jax.lax.dot_general(q, blk, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=adt)
+        o_ref[...] = out.reshape(rows, P, LANE).astype(vdt)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((ncv, rows), lambda i: (0, 0)),
+                  pl.BlockSpec((ncv, P, LANE), lambda i: (0, i, 0))],
+        out_specs=pl.BlockSpec((rows, P, LANE), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((ncv, npan, LANE), vdt),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )
+
+
 def supported(V, q_dtype) -> bool:
     """Kernel applicability: 3-D real f32/bf16 basis (the TPU layouts)."""
     return (V.ndim == 3 and V.shape[2] == LANE

@@ -33,7 +33,7 @@ def bench(restart: str, nx: int, ncv: int, nev: int, cycles: int):
     from arpack_ng_tpu.config import IRAMConfig
     from arpack_ng_tpu.core.device_sym import FusedSymSolver
 
-    op, _ = models.laplacian_2d(nx, dtype="float32")
+    op, _ = models.laplacian_2d(nx, dtype=np.float32)
     cfg = IRAMConfig(n=op.n, nev=nev, ncv=ncv, which="LA", symmetric=True,
                      dtype=np.dtype(np.float32), n_pad=op.n_pad, tol=1e-30,
                      max_iter=100_000, restart=restart, reorth="selective")

@@ -37,7 +37,7 @@ enum class bmat : int {
 enum class howmny : int {
   ritz_vectors,               /* 'A' */
   schur_vectors,              /* 'P' */
-  ritz_specified              /* 'S' (select mask; Python API only) */
+  ritz_specified              /* 'S' (select mask via options.select) */
 };
 
 inline const char *to_c(which w) {
@@ -64,13 +64,27 @@ struct options {
   atpu_int ncv = 0;           /* 0 = auto */
   atpu_int max_iter = 0;      /* 0 = auto */
   howmny vectors = howmny::ritz_vectors;
+  /* howmny::ritz_specified: positional select mask over the final
+   * factorization's Ritz values (ICB/arpack.hpp:44-48); nonzero =
+   * selected, length = select_len (ncv-sized; extra entries ignored) */
+  const atpu_int *select = nullptr;
+  atpu_int select_len = 0;
 };
+
+/* Arm the howmny='S' mask for the next C call when requested. */
+inline void apply_select(const options &o) {
+  if (o.vectors == howmny::ritz_specified && o.select)
+    atpu_set_select(o.select, o.select_len);
+  else
+    atpu_set_select(nullptr, 0);
+}
 
 /* ---- overloaded dense symmetric/Hermitian drivers ----------------------- */
 
 inline atpu_int eigsh(atpu_int n, const double *a, const double *m,
                       atpu_int nev, double *evals, double *evecs,
                       atpu_int *nconv, const options &o = {}) {
+  apply_select(o);
   return atpu_eigsh_dense_d(n, a, m, nev, to_c(o.w), o.sigma_re,
                             o.shift_invert ? 1 : 0, o.tol, o.ncv,
                             o.max_iter, evals, evecs, nconv);
@@ -79,6 +93,7 @@ inline atpu_int eigsh(atpu_int n, const double *a, const double *m,
 inline atpu_int eigsh(atpu_int n, const float *a, const float *m,
                       atpu_int nev, float *evals, float *evecs,
                       atpu_int *nconv, const options &o = {}) {
+  apply_select(o);
   return atpu_eigsh_dense_s(n, a, m, nev, to_c(o.w), o.sigma_re,
                             o.shift_invert ? 1 : 0, o.tol, o.ncv,
                             o.max_iter, evals, evecs, nconv);
@@ -92,6 +107,7 @@ inline atpu_int eigs(atpu_int n, const double *a, const double *m,
                      atpu_int nev, double *evals_re, double *evals_im,
                      double *evecs_re, double *evecs_im, atpu_int *nconv,
                      const options &o = {}) {
+  apply_select(o);
   return atpu_eigs_dense_d(
       n, a, m, nev, to_c(o.w), o.sigma_re, o.shift_invert ? 1 : 0, o.tol,
       o.ncv, o.max_iter, o.vectors == howmny::schur_vectors ? 1 : 0,
@@ -102,6 +118,7 @@ inline atpu_int eigs(atpu_int n, const float *a, const float *m,
                      atpu_int nev, float *evals_re, float *evals_im,
                      float *evecs_re, float *evecs_im, atpu_int *nconv,
                      const options &o = {}) {
+  apply_select(o);
   return atpu_eigs_dense_s(
       n, a, m, nev, to_c(o.w), o.sigma_re, o.shift_invert ? 1 : 0, o.tol,
       o.ncv, o.max_iter, o.vectors == howmny::schur_vectors ? 1 : 0,
@@ -113,6 +130,7 @@ inline atpu_int eigs(atpu_int n, const std::complex<double> *a,
                      std::complex<double> *evals,
                      std::complex<double> *evecs, atpu_int *nconv,
                      const options &o = {}) {
+  apply_select(o);
   return atpu_eigs_dense_z(
       n, reinterpret_cast<const double *>(a),
       reinterpret_cast<const double *>(m), nev, to_c(o.w), o.sigma_re,
@@ -127,6 +145,7 @@ inline atpu_int eigs(atpu_int n, const std::complex<float> *a,
                      std::complex<float> *evals,
                      std::complex<float> *evecs, atpu_int *nconv,
                      const options &o = {}) {
+  apply_select(o);
   return atpu_eigs_dense_c(
       n, reinterpret_cast<const float *>(a),
       reinterpret_cast<const float *>(m), nev, to_c(o.w), o.sigma_re,
@@ -147,6 +166,7 @@ inline atpu_int eigsh(atpu_int n_devices, atpu_int n, const double *a,
                       const double *m, atpu_int nev, double *evals,
                       double *evecs, atpu_int *nconv,
                       const options &o = {}) {
+  apply_select(o);
   return atpu_peigsh_dense_d(n_devices, n, a, m, nev, to_c(o.w),
                              o.sigma_re, o.shift_invert ? 1 : 0, o.tol,
                              o.ncv, o.max_iter, evals, evecs, nconv);
@@ -156,6 +176,7 @@ inline atpu_int eigsh(atpu_int n_devices, atpu_int n, const float *a,
                       const float *m, atpu_int nev, float *evals,
                       float *evecs, atpu_int *nconv,
                       const options &o = {}) {
+  apply_select(o);
   return atpu_peigsh_dense_s(n_devices, n, a, m, nev, to_c(o.w),
                              o.sigma_re, o.shift_invert ? 1 : 0, o.tol,
                              o.ncv, o.max_iter, evals, evecs, nconv);
@@ -165,6 +186,7 @@ inline atpu_int eigs(atpu_int n_devices, atpu_int n, const double *a,
                      const double *m, atpu_int nev, double *evals_re,
                      double *evals_im, double *evecs_re, double *evecs_im,
                      atpu_int *nconv, const options &o = {}) {
+  apply_select(o);
   return atpu_peigs_dense_d(
       n_devices, n, a, m, nev, to_c(o.w), o.sigma_re,
       o.shift_invert ? 1 : 0, o.tol, o.ncv, o.max_iter,
@@ -178,6 +200,7 @@ inline atpu_int eigs(atpu_int n_devices, atpu_int n,
                      std::complex<double> *evals,
                      std::complex<double> *evecs, atpu_int *nconv,
                      const options &o = {}) {
+  apply_select(o);
   return atpu_peigs_dense_z(
       n_devices, n, reinterpret_cast<const double *>(a),
       reinterpret_cast<const double *>(m), nev, to_c(o.w), o.sigma_re,

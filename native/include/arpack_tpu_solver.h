@@ -283,6 +283,13 @@ atpu_int atpu_check_eigvec_z(atpu_int n, int dense,
  * likewise per-solve: info!=0 + caller resid, SRC/dsaupd.f:130-136).
  * Pass NULL to clear either path.  Returns 0, or -1 on an unescapable
  * path. */
+/* howmny='S' select mask (ICB/arpack.hpp:44-48 ritz_specified — the
+ * reference documents it but its Fortran core returns info=-12; here it
+ * is implemented).  Applies to the NEXT solve: mask[i] != 0 selects the
+ * i-th Ritz value of the final factorization (positional, converged
+ * entries only; lengths beyond ncv are ignored).  NULL/0 clears. */
+atpu_int atpu_set_select(const atpu_int *mask, atpu_int len);
+
 atpu_int atpu_set_checkpoint(const char *dump_path,
                              const char *restart_path);
 

@@ -32,6 +32,8 @@ std::mutex g_mu;
 bool g_inited = false;
 std::string g_dump;     // checkpoint path for the NEXT solve ("" = off)
 std::string g_restart;  // restart path for the NEXT solve
+std::string g_select;   // howmny='S' select mask ('0'/'1' chars) for the
+                        // NEXT solve ("" = howmny 'A'/'P' per `schur`)
 
 // Locate the arpack_ng_tpu package relative to this shared library
 // (native/build/lib*.so -> repo root two levels up), plus any paths from
@@ -166,11 +168,20 @@ atpu_int run_solve(char dtype, int symmetric, int schur, atpu_int n,
         static_cast<int>(sizeof(atpu_int) * 8));
     g_dump.clear();
     g_restart.clear();
+    std::string opts_s(opts);
+    if (!g_select.empty()) {
+      // inject the select mask (howmny='S', ICB/arpack.hpp:44-48): a
+      // compact '0'/'1' string, positional over the final
+      // factorization's Ritz values
+      opts_s.pop_back();  // strip the closing '}'
+      opts_s += ",\"select\":\"" + g_select + "\"}";
+      g_select.clear();
+    }
 
     PyObject *fn = bridge_attr("solve");
     if (!fn) { rc = -9999; break; }
     size_t sb = scalar_bytes(dtype);
-    PyObject *opt = PyUnicode_FromString(opts);
+    PyObject *opt = PyUnicode_FromString(opts_s.c_str());
     PyObject *mA = mv_or_none(dense_a, size_t(n) * size_t(n) * sb);
     PyObject *mP = mv_or_none(indptr, sizeof(atpu_int) * size_t(n + 1));
     PyObject *mI = mv_or_none(indices, sizeof(atpu_int) * size_t(nnz));
@@ -723,6 +734,22 @@ atpu_int atpu_set_checkpoint(const char *dump_path,
   if (restart_path && !json_safe(restart_path)) return -1;
   g_dump = dump_path ? dump_path : "";
   g_restart = restart_path ? restart_path : "";
+  return 0;
+}
+
+/* ---- howmny='S' select mask (ICB/arpack.hpp:44-48 ritz_specified; the
+ *      reference Fortran core documents but rejects it — here it works).
+ *      Applies to the NEXT solve; mask[i] != 0 selects the i-th Ritz
+ *      value of the final factorization (converged entries only).
+ *      Pass NULL/0 to clear. ------------------------------------------- */
+
+atpu_int atpu_set_select(const atpu_int *mask, atpu_int len) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  g_select.clear();
+  if (!mask || len <= 0) return 0;
+  if (len > 4096) return -1;  /* ncv-sized; reject absurd lengths */
+  g_select.reserve(static_cast<size_t>(len));
+  for (atpu_int i = 0; i < len; ++i) g_select += mask[i] ? '1' : '0';
   return 0;
 }
 

@@ -277,6 +277,44 @@ static void test_mm_and_check(void) {
   remove(path);
 }
 
+static void test_select_mask(void) {
+  /* howmny='S' via atpu_set_select (ICB/arpack.hpp:44-48 ritz_specified:
+   * the reference documents it but its core returns info=-12; here it
+   * works).  Mask is positional over the exit-ordered Ritz values. */
+  const atpu_int n = 200, nev = 4;
+  double *a = calloc((size_t)(n * n), sizeof(double));
+  for (atpu_int i = 0; i < n; ++i) a[i * n + i] = (double)(i + 1);
+  double evals[8] = {0};
+  double *evecs = malloc(sizeof(double) * (size_t)n * 8);
+  atpu_int nconv = 0;
+  atpu_int mask[20] = {0};
+  mask[0] = 1; mask[2] = 1;   /* Ritz #0 and #2 of the exit ordering */
+  CHECK(atpu_set_select(mask, 20) == 0, "set_select rc");
+  atpu_int rc = atpu_eigsh_dense_d(n, a, NULL, nev, "LA", 0.0, 0, 1e-10,
+                                   20, 500, evals, evecs, &nconv);
+  CHECK(rc == 0, "select rc");
+  CHECK(nconv == 2, "select count");
+  for (atpu_int j = 0; j < nconv; ++j) {
+    CHECK(evals[j] > (double)(n - nev) && evals[j] < (double)n + 1e-6,
+          "select value in wanted set");
+    /* diagonal operator: residual |A v - lambda v| must vanish */
+    double res = 0.0, nrm = 0.0;
+    for (atpu_int i = 0; i < n; ++i) {
+      double d = ((double)(i + 1) - evals[j]) * evecs[j * n + i];
+      res += d * d;
+      nrm += evecs[j * n + i] * evecs[j * n + i];
+    }
+    CHECK(nrm > 0.5 && res < 1e-12, "select vec residual");
+  }
+  CHECK(fabs(evals[0] - evals[1]) > 0.5, "select distinct values");
+  /* the mask is one-shot: the next solve returns the full wanted set */
+  rc = atpu_eigsh_dense_d(n, a, NULL, nev, "LA", 0.0, 0, 1e-10,
+                          20, 500, evals, evecs, &nconv);
+  CHECK(rc == 0 && nconv >= nev, "mask cleared after solve");
+  free(a);
+  free(evecs);
+}
+
 int main(void) {
   atpu_debug_c(6, 6, 0, 0, 0, 0, 0, 0, 0, 0);   /* exercise debug_c */
   test_mm_and_check();
@@ -286,6 +324,7 @@ int main(void) {
   test_nonsym_d_schur();
   test_dense_z();
   test_shift_invert_and_checkpoint();
+  test_select_mask();
   test_parallel_mesh();
   if (failures) {
     fprintf(stderr, "C-ABI: %d failures\n", failures);

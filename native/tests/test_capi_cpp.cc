@@ -38,6 +38,28 @@ int main() {
           "eigsh<double> top value");
   }
 
+  {                                           // howmny::ritz_specified
+    std::vector<double> a(n * n, 0.0);
+    for (atpu_int i = 0; i < n; ++i) a[i * n + i] = double(i + 1);
+    std::vector<double> evals(nev + 2), evecs(n * (nev + 2));
+    atpu_int nconv = 0;
+    std::vector<atpu_int> mask(16, 0);
+    mask[0] = 1; mask[1] = 1;  // Ritz #0 and #1 of the exit ordering
+    options o;
+    o.w = which::largest_algebraic;
+    o.tol = 1e-10;
+    o.ncv = 16;
+    o.max_iter = 500;
+    o.vectors = howmny::ritz_specified;
+    o.select = mask.data();
+    o.select_len = atpu_int(mask.size());
+    CHECK(eigsh(n, a.data(), nullptr, nev, evals.data(), evecs.data(),
+                &nconv, o) == 0, "ritz_specified rc");
+    CHECK(nconv == 2, "ritz_specified count");
+    CHECK(evals[0] > double(n - nev) && evals[1] > double(n - nev),
+          "ritz_specified values from wanted set");
+  }
+
   {                                           // float overload resolves
     std::vector<float> a(n * n, 0.0f);
     for (atpu_int i = 0; i < n; ++i) a[i * n + i] = float(i + 1);

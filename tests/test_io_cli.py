@@ -73,6 +73,44 @@ class TestCheckpoint:
                                    rtol=1e-10)
         assert res2.nconv >= 4
 
+    def test_fused_multicycle_dispatch_boundary_resume(self, tmp_path):
+        """Checkpoint cadence of the FUSED multi-cycle driver: the
+        on-device while_loop runs up to ``cycles_per_dispatch`` restart
+        cycles per dispatch, so state is observable (and dumpable) only
+        at dispatch boundaries — between dispatches, never mid-cycle.
+        A dump taken at such a boundary must resume to the identical
+        solution, including when the resuming solver uses a DIFFERENT
+        cycles_per_dispatch (the state carries no dispatch bookkeeping).
+        Reference analog: any-iteration resume via info!=0/resid
+        (SRC/dsaupd.f:130-136); here the granularity is a whole restart
+        cycle."""
+        import jax.numpy as jnp
+        from arpack_ng_tpu.core.device_sym import FusedSymSolver
+        n = 300
+        d = np.linspace(1, 50, n)
+        op = at.from_diagonal(d, n_pad=at.pad_dim(n))
+        cfg = IRAMConfig(n=n, nev=4, ncv=12, which="LA", symmetric=True,
+                         dtype=np.float64, n_pad=op.n_pad, tol=1e-12,
+                         max_iter=500)
+        solver = FusedSymSolver(op, cfg, cycles_per_dispatch=2)
+        st = solver.init_state()
+        # one dispatch = 2 fused cycles; dump at the dispatch boundary
+        out = solver._multi(st, jnp.int32(2), jnp.int32(cfg.max_iter))
+        assert int(out.state.iter) == 2 and not bool(out.done)
+        path = tmp_path / "fused_ck.npz"
+        ckpt.save_state(path, out.state, cfg)
+        st2, _ = ckpt.load_state(path, cfg=cfg)
+        # resume with a different dispatch chunking
+        solver2 = FusedSymSolver(op, cfg, cycles_per_dispatch=5)
+        res_resumed = solver2.solve(state=st2)
+        res_cont = solver.solve(state=out.state)
+        assert res_resumed.nconv >= 4
+        # exit_sort places the wanted values in the leading nev slots
+        np.testing.assert_allclose(res_resumed.ritz[:4],
+                                   res_cont.ritz[:4], rtol=1e-12)
+        np.testing.assert_allclose(np.sort(res_resumed.ritz[:4]),
+                                   np.sort(d)[-4:], rtol=1e-10)
+
     def test_resid_only_restart(self, tmp_path):
         """Reference semantics: info!=0 restart from saved resid
         (SRC/dsaupd.f:130-136)."""

@@ -95,3 +95,26 @@ class TestSvds:
                     return_singular_vectors=False, maxiter=3000, ncv=30)
         s_ref = np.sort(np.linalg.svd(a, compute_uv=False))
         np.testing.assert_allclose(np.sort(s), s_ref[:3], rtol=1e-6)
+
+    def test_mesh_sharded(self, rng):
+        """mesh= on svds (beyond reference — EXAMPLES/SVD/dsvd.f is
+        sequential): the Gram/cyclic Lanczos runs with a row-sharded
+        basis on the 8-virtual-device mesh and matches the unsharded
+        solve and numpy."""
+        import jax
+        from jax.sharding import Mesh
+        a = rng.standard_normal((256, 128)).astype(np.float64)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("rows",))
+        u, s, vh = at.svds(a, k=3, tol=1e-10, mesh=mesh)
+        s_ref = np.sort(np.linalg.svd(a, compute_uv=False))[::-1][:3]
+        np.testing.assert_allclose(np.sort(s)[::-1], s_ref, rtol=1e-9)
+        # residual oracle: A v = s u
+        for i in range(3):
+            r = np.linalg.norm(a @ vh.conj().T[:, i] - s[i] * u[:, i])
+            assert r < 1e-8 * max(s)
+        s0 = at.svds(a, k=3, tol=1e-10, return_singular_vectors=False)
+        np.testing.assert_allclose(np.sort(s), np.sort(s0), rtol=1e-10)
+        # augmented method under the same mesh
+        s_aug = at.svds(a, k=3, tol=1e-10, method="augmented",
+                        return_singular_vectors=False, mesh=mesh)
+        np.testing.assert_allclose(np.sort(s_aug), s_ref[::-1], rtol=1e-8)
