@@ -126,7 +126,8 @@ def rotate_basis(Q, V, acc_dtype):
 _ROT_BUCKET = 8
 
 
-def rotate_basis_kev(Q, V, kev, acc_dtype, need_next: bool = True):
+def rotate_basis_kev(Q, V, kev, acc_dtype, need_next: bool = True,
+                     pallas_ok: bool = False):
     """Restart rotation ``Q^T V`` computing ONLY the surviving rows.
 
     dsapps parity: the reference updates just columns 1..kev+1 of ``V·Q``,
@@ -146,6 +147,17 @@ def rotate_basis_kev(Q, V, kev, acc_dtype, need_next: bool = True):
     at the flagship's ncv=32 / kev≈9-12 that removes ~25% of the bytes
     on the op measured at its bandwidth ceiling (docs/PERF.md).
 
+    ``pallas_ok``: allow the in-place Pallas kernel on TPU (unsharded
+    3-D real f32/bf16 bases).  Expressing the partial update as
+    ``dot + dynamic_update_slice`` makes XLA's layout assignment flip
+    the basis to a ``{2,0,1}`` layout inside the fused while-loop and
+    insert full-V layout-conversion copies that cost MORE than the
+    partial rotation saves (measured round 4: 445 ms vs 406 ms flagship
+    wall); the kernel pins the layout and writes truly in place via
+    ``input_output_aliases`` (measured 401/458 us for R=16/24 vs 925 us
+    full at n=1M — benchmarks/bench_rot_partial.py).  Callers must pass
+    False for mesh-sharded solves (pallas_call has no GSPMD rule).
+
     Returns ``(V_new, v_next_row, rows_written:int32)``; ``v_next_row``
     has the basis row shape (flatten + cast at the call site).
     """
@@ -154,7 +166,39 @@ def rotate_basis_kev(Q, V, kev, acc_dtype, need_next: bool = True):
     nb = max(1, -(-ncv // _ROT_BUCKET))
     rows_list = [min((b + 1) * _ROT_BUCKET, ncv) for b in range(nb)]
 
+    on_tpu = jax.default_backend() == "tpu"
+    use_pl = (pallas_ok and on_tpu
+              and V.ndim == 3 and V.shape[2] == 128
+              and V.shape[1] % 8 == 0
+              and jnp.dtype(V.dtype) in (jnp.dtype(jnp.float32),
+                                         jnp.dtype(jnp.bfloat16))
+              and not jnp.issubdtype(jnp.dtype(Q.dtype),
+                                     jnp.complexfloating))
+    if use_pl:
+        from ..ops import pallas_rot
+        acc_r = jnp.dtype(jnp.float32)
+
     def mk(R):
+        if R == ncv:
+            # full rotation: a plain dot, no update-slice needed
+            def f(_):
+                Vn = rotate_basis(Q, V, acc_dtype).astype(V.dtype)
+                vn = lax.dynamic_index_in_dim(
+                    Vn, jnp.minimum(kev, R - 1), axis=0, keepdims=False)
+                return Vn, vn, jnp.int32(R)
+            return f
+        if use_pl:
+            kern = pallas_rot.make_rotate_rows(
+                ncv, R, V.shape[1], str(jnp.dtype(V.dtype)), str(acc_r),
+                panels=128)
+
+            def f(_):
+                Vn = kern(Q[:, :R].astype(V.dtype), V)
+                vn = lax.dynamic_index_in_dim(
+                    Vn, jnp.minimum(kev, R - 1), axis=0, keepdims=False)
+                return Vn, vn, jnp.int32(R)
+            return f
+
         def f(_):
             top = rotate_basis(Q[:, :R], V, acc_dtype)
             Vn = lax.dynamic_update_slice(
@@ -164,7 +208,10 @@ def rotate_basis_kev(Q, V, kev, acc_dtype, need_next: bool = True):
             return Vn, vn, jnp.int32(R)
         return f
 
-    if nb == 1:
+    if nb == 1 or (on_tpu and not use_pl):
+        # TPU without the kernel (mesh-sharded, f64, complex, 2-D
+        # layout): the dot+DUS partial form triggers the layout-copy
+        # regression described above — keep the full rotation there.
         return mk(ncv)(None)
     b = jnp.minimum((jnp.maximum(nrows, 1) - 1) // _ROT_BUCKET, nb - 1)
     return lax.switch(b, [mk(R) for R in rows_list], None)

@@ -342,7 +342,8 @@ class RealCycleOut(NamedTuple):
     bounds_s: jax.Array  # (ncv,)
 
 
-def make_realnonsym_cycle(op: Operator, cfg: IRAMConfig):
+def make_realnonsym_cycle(op: Operator, cfg: IRAMConfig,
+                          pallas_rot_ok: bool = False):
     """Jitted fused cycle for REAL non-symmetric problems:
     (state, is_last) -> RealCycleOut."""
     if cfg.symmetric:
@@ -479,7 +480,8 @@ def make_realnonsym_cycle(op: Operator, cfg: IRAMConfig):
             # dsapps-parity kev-row update (SRC/dnapps.f analog): only
             # rows 0..nev_eff of Q^T V survive the restart
             VQ, v_next, rots = rotate_basis_kev(Q, state.V, nev_eff,
-                                                cfg.dtype)
+                                                cfg.dtype,
+                                                pallas_ok=pallas_rot_ok)
             v_next = v_next.reshape(-1).astype(cfg.dtype)
             resid = sigmak * state.resid + betak * v_next
             b_resid = op.b_apply(resid) if is_g else resid
@@ -505,10 +507,12 @@ def make_realnonsym_cycle(op: Operator, cfg: IRAMConfig):
     return cycle
 
 
-def make_realnonsym_multi_cycle(op: Operator, cfg: IRAMConfig):
+def make_realnonsym_multi_cycle(op: Operator, cfg: IRAMConfig,
+                                pallas_rot_ok: bool = False):
     """lax.while_loop over the fused real-nonsym cycle — the whole
     restart loop in one dispatch (see device_sym.make_sym_multi_cycle)."""
-    cycle = make_realnonsym_cycle(op, cfg)
+    cycle = make_realnonsym_cycle(op, cfg,
+                                  pallas_rot_ok=pallas_rot_ok)
     ncv = cfg.ncv
     rdt = jnp.dtype(cfg.dtype)
 
@@ -559,7 +563,8 @@ class FusedRealNonsymSolver:
         if not cfg.exact_shifts:
             raise ValueError("fused path requires exact shifts")
         init = make_init(op, cfg, v3d=v_is_3d(cfg, mesh))
-        multi = make_realnonsym_multi_cycle(op, cfg)
+        multi = make_realnonsym_multi_cycle(op, cfg,
+                                            pallas_rot_ok=mesh is None)
         if mesh is None:
             # hoisted_jit keeps operator data (dense/DIA/banded/ILU
             # arrays) out of the lowered module (utils/hoist.py)

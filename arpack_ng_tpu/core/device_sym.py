@@ -222,7 +222,8 @@ def _make_be_arrange(ncv: int):
     return be_arrange
 
 
-def make_sym_tail(op: Operator, cfg: IRAMConfig, user_shifts: bool = False):
+def make_sym_tail(op: Operator, cfg: IRAMConfig, user_shifts: bool = False,
+                  pallas_rot_ok: bool = False):
     """Build the jitted restart tail: ``tail(h, is_last[, shifts])``.
 
     The exact-shift tail (dsapps with shifts from dsgets) or — with
@@ -303,7 +304,8 @@ def make_sym_tail(op: Operator, cfg: IRAMConfig, user_shifts: bool = False):
         # dsapps-parity kev-row update: only rows 0..nev_eff of Q^T V
         # survive the restart (SRC/dsapps.f:445-481)
         VQ, v_next, rots = rotate_basis_kev(Q, state.V, nev_eff,
-                                            cfg.dtype)
+                                            cfg.dtype,
+                                            pallas_ok=pallas_rot_ok)
         v_next = v_next.reshape(-1).astype(cfg.dtype)
         resid = sigmak * state.resid + betak * v_next
         b_resid = op.b_apply(resid) if is_g else resid
@@ -334,7 +336,8 @@ def make_sym_tail(op: Operator, cfg: IRAMConfig, user_shifts: bool = False):
         # (resid is unchanged; no v_next row is consumed)
         VQ, _, rots = rotate_basis_kev(S[:, src].astype(rdt), state.V,
                                        nev_eff, cfg.dtype,
-                                       need_next=False)
+                                       need_next=False,
+                                       pallas_ok=pallas_rot_ok)
         H_new = jnp.diag(jnp.where(iota < nev_eff, theta,
                                    jnp.zeros((), rdt))
                          ).astype(cfg.dtype)
@@ -368,11 +371,12 @@ def make_sym_tail(op: Operator, cfg: IRAMConfig, user_shifts: bool = False):
     return tail
 
 
-def make_sym_cycle(op: Operator, cfg: IRAMConfig):
+def make_sym_cycle(op: Operator, cfg: IRAMConfig,
+                   pallas_rot_ok: bool = False):
     """Build the jitted fused cycle: (state, is_last) -> CycleOut —
     head and exact-shift tail composed into one traced computation."""
     head = make_sym_head(op, cfg)
-    tail = make_sym_tail(op, cfg)
+    tail = make_sym_tail(op, cfg, pallas_rot_ok=pallas_rot_ok)
 
     def cycle(state: FactorizationState, is_last) -> CycleOut:
         return tail(head(state), is_last)
@@ -380,7 +384,8 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig):
     return cycle
 
 
-def make_sym_multi_cycle(op: Operator, cfg: IRAMConfig):
+def make_sym_multi_cycle(op: Operator, cfg: IRAMConfig,
+                         pallas_rot_ok: bool = False):
     """Run up to ``n_cycles`` restart cycles in ONE device dispatch: a
     ``lax.while_loop`` over the fused cycle that exits as soon as the
     convergence test fires.  The whole dsaup2 restart loop thus executes
@@ -388,7 +393,7 @@ def make_sym_multi_cycle(op: Operator, cfg: IRAMConfig):
     replacing reverse communication with traced operators (and it
     amortizes per-dispatch latency, which dominates on remote-attached
     TPUs)."""
-    cycle = make_sym_cycle(op, cfg)
+    cycle = make_sym_cycle(op, cfg, pallas_rot_ok=pallas_rot_ok)
     ncv = cfg.ncv
     rdt = _dt.real_dtype(cfg.dtype)
 
@@ -447,10 +452,16 @@ class FusedSymSolver:
             raise ValueError("exact_shifts=False requires a shift_fn")
         init = make_init(op, cfg, v3d=v_is_3d(cfg, mesh))
         user = shift_fn is not None
-        cycle = None if user else make_sym_cycle(op, cfg)
-        multi = None if user else make_sym_multi_cycle(op, cfg)
+        # the in-place Pallas restart rotation has no GSPMD rule: only
+        # unsharded solves may use it (see rotate_basis_kev)
+        prot = mesh is None
+        cycle = None if user else make_sym_cycle(op, cfg,
+                                                 pallas_rot_ok=prot)
+        multi = None if user else make_sym_multi_cycle(op, cfg,
+                                                       pallas_rot_ok=prot)
         head = make_sym_head(op, cfg, inflate=not user) if user else None
-        tailu = make_sym_tail(op, cfg, user_shifts=True) if user else None
+        tailu = make_sym_tail(op, cfg, user_shifts=True,
+                              pallas_rot_ok=prot) if user else None
         if mesh is None:
             # hoisted_jit keeps operator data (dense/DIA/banded/ILU
             # arrays) out of the lowered module (utils/hoist.py)

@@ -57,6 +57,9 @@ class Operator:
     #   coordinates (internal i holds logical perm[i]); the solver
     #   permutes v0 in and un-permutes eigenvectors out, so users see
     #   logical coordinates throughout.
+    format: Optional[str] = None    # execution structure chosen by the
+    #   sparse importer ('dense'/'dia'/'ell'/'hyb'/'coo'); None for
+    #   user-built operators.
 
     def __post_init__(self):
         if self.n_pad == 0:
@@ -111,7 +114,7 @@ def from_dense(
 
         return Operator(n=n, dtype=dtype, apply=apply, bmat="I", mode=1,
                         a_apply=lambda v: a_dev @ v, n_pad=n_pad,
-                        hermitian=hermitian)
+                        hermitian=hermitian, format="dense")
 
     m = np.asarray(m)
     # Factor M once on host (reference dsdrv3 uses LAPACK pttrf/pttrs for the

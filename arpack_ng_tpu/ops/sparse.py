@@ -30,25 +30,36 @@ from ..config import pad_dim
 from .operator import Operator
 
 
-def _to_ell(a: sp.spmatrix, n_pad: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Convert to ELLPACK (cols, vals) with per-row padding.
+def _to_ell(a: sp.spmatrix, n_pad: int, width: int = 0
+            ) -> Tuple[np.ndarray, np.ndarray, sp.coo_matrix]:
+    """Convert to ELLPACK (cols, vals) with per-row padding, vectorized.
 
     Padded slots point at column ``n_pad-1`` with value 0 (the pad region is
     identically zero in every solver vector, so no masking is needed in the
-    inner loop)."""
+    inner loop).  ``width`` caps the per-row slot count: entries beyond it
+    (hub-row overflow) are returned as a COO remainder — the hybrid
+    ELL+COO split (HYB of Bell & Garland's SpMV taxonomy) that keeps
+    power-law matrices from padding every row to the hub degree."""
     csr = a.tocsr()
+    csr.sum_duplicates()
     n = csr.shape[0]
     nnz_per_row = np.diff(csr.indptr)
-    width = int(nnz_per_row.max()) if n > 0 else 0
+    wmax = int(nnz_per_row.max()) if n > 0 else 0
+    width = min(width, wmax) if width else wmax
     width = max(width, 1)
+    # position of each nonzero within its row
+    pos = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], nnz_per_row)
+    rows_of = np.repeat(np.arange(n), nnz_per_row)
+    in_ell = pos < width
     cols = np.full((n_pad, width), n_pad - 1, dtype=np.int32)
     vals = np.zeros((n_pad, width), dtype=csr.dtype)
-    for i in range(n):
-        lo, hi = csr.indptr[i], csr.indptr[i + 1]
-        k = hi - lo
-        cols[i, :k] = csr.indices[lo:hi]
-        vals[i, :k] = csr.data[lo:hi]
-    return cols, vals
+    cols[rows_of[in_ell], pos[in_ell]] = csr.indices[in_ell]
+    vals[rows_of[in_ell], pos[in_ell]] = csr.data[in_ell]
+    ov = ~in_ell
+    tail = sp.coo_matrix(
+        (csr.data[ov], (rows_of[ov], csr.indices[ov].astype(np.int64))),
+        shape=(n, n))
+    return cols, vals, tail
 
 
 def ell_matvec(cols: jax.Array, vals: jax.Array, x: jax.Array) -> jax.Array:
@@ -66,6 +77,11 @@ def coo_matvec(rows: jax.Array, cols: jax.Array, vals: jax.Array,
 DIA_MAX_DIAGONALS = 192
 #: below this dimension a dense (MXU matmul) operator is cheapest
 DENSE_MAX_N = 2048
+#: switch ELL -> hybrid ELL+COO when the max row length exceeds this
+#: multiple of the 95th-percentile row length (power-law/hub matrices:
+#: plain ELL pads EVERY row to the hub degree — measured 473 vs p95=20
+#: on a Barabasi-Albert Laplacian, a 24x traffic blowup)
+HYB_WASTE_FACTOR = 3
 
 
 def dia_matvec_fn(offsets, diags, n: int, n_pad: int):
@@ -132,7 +148,12 @@ def from_scipy(a: sp.spmatrix, dtype=None, *, hermitian: bool = False,
     3. few diagonals after Reverse-Cuthill-McKee -> DIA on the permuted
        problem (the permutation is carried on the Operator and unwound
        on extraction, invisible to the caller)
-    4. otherwise            -> gather-ELL fallback
+    4. bounded row lengths  -> gather-ELL
+    5. hub rows (max row length > 3x the 95th percentile, power-law
+       graphs) -> hybrid ELL+COO: p95-width dense gather + scatter-add
+       overflow tail (Bell & Garland HYB), so hubs don't pad every row
+
+    The chosen structure is recorded on ``Operator.format``.
     """
     a = a.tocsr()
     if dtype is not None:
@@ -155,7 +176,12 @@ def from_scipy(a: sp.spmatrix, dtype=None, *, hermitian: bool = False,
             if structural_diagonals(ap) <= DIA_MAX_DIAGONALS:
                 a, perm, format = ap.tocsr(), p, "dia"
             else:
-                format = "ell"
+                nnz_row = np.diff(a.tocsr().indptr)
+                w95 = max(int(np.ceil(np.percentile(nnz_row, 95))), 1)
+                if int(nnz_row.max()) > HYB_WASTE_FACTOR * w95:
+                    format = "hyb"
+                else:
+                    format = "ell"
 
     if format == "dia":
         offsets, diags = _to_dia(a)
@@ -164,12 +190,28 @@ def from_scipy(a: sp.spmatrix, dtype=None, *, hermitian: bool = False,
         def matvec(x):
             return mv(x)
     elif format == "ell":
-        cols_np, vals_np = _to_ell(a, n_pad)
+        cols_np, vals_np, _ = _to_ell(a, n_pad)
         cols = jnp.asarray(cols_np)
         vals = jnp.asarray(vals_np)
 
         def matvec(x):
             return ell_matvec(cols, vals, x)
+    elif format == "hyb":
+        # hybrid ELL+COO: dense-gather the p95-width body, scatter-add
+        # the hub overflow (power-law degree distributions)
+        csr0 = a.tocsr()
+        nnz_row = np.diff(csr0.indptr)
+        w95 = max(int(np.ceil(np.percentile(nnz_row, 95))), 1)
+        cols_np, vals_np, tail = _to_ell(a, n_pad, width=w95)
+        cols = jnp.asarray(cols_np)
+        vals = jnp.asarray(vals_np)
+        trows = jnp.asarray(tail.row.astype(np.int32))
+        tcols = jnp.asarray(tail.col.astype(np.int32))
+        tvals = jnp.asarray(tail.data)
+
+        def matvec(x):
+            y = ell_matvec(cols, vals, x)
+            return y.at[trows].add(tvals * x[tcols])
     elif format == "coo":
         coo = a.tocoo()
         rows = jnp.asarray(coo.row.astype(np.int32))
@@ -187,4 +229,4 @@ def from_scipy(a: sp.spmatrix, dtype=None, *, hermitian: bool = False,
 
     return Operator(n=n, dtype=a.dtype, apply=apply, bmat="I", mode=1,
                     a_apply=matvec, n_pad=n_pad, hermitian=hermitian,
-                    perm=perm)
+                    perm=perm, format=format)

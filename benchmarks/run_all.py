@@ -206,6 +206,19 @@ def main():
     except Exception as e:
         print(f"| banded shift-invert apply | n/a | {type(e).__name__} |")
     try:
+        import subprocess
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_corpus.py")]
+            + (["--small"] if args.small else []),
+            capture_output=True, text=True, timeout=3600)
+        for line in r.stdout.splitlines():
+            if line.startswith("|"):
+                print(line)
+    except Exception as e:
+        print(f"| corpus tier | n/a | {type(e).__name__} |")
+    try:
         spmv, nnz = bench_spmv((nx * nx))
     except Exception as e:
         print(f"| spmv | n/a | {type(e).__name__} (run standalone in a "

@@ -144,3 +144,60 @@ class TestCorpus:
         op = ops_sparse.from_scipy(a2.tocsr(), hermitian=True)
         vals, vecs = at.eigsh(op, k=3, which="LA", tol=1e-10)
         assert max(_residuals(a, vals, vecs)) < 1e-8
+
+
+class TestIrregularCorpus:
+    """SuiteSparse-class irregular structures (round-3 verdict #5):
+    generated FEM / power-law / saddle-point matrices through
+    from_scipy(format='auto'), asserting the chosen execution structure
+    per class + the independent residual oracle.  Full-scale (n >= 1e5)
+    on-chip throughput per class lives in benchmarks/bench_corpus.py."""
+
+    def test_fem_triangulation_routes_ell(self):
+        from arpack_ng_tpu.models import corpus
+        a = corpus.fem_triangulation(12000)
+        op = ops_sparse.from_scipy(a, hermitian=True)
+        # unstructured mesh: RCM still leaves >192 diagonals, bounded
+        # row degrees -> plain gather-ELL
+        assert op.format == "ell"
+        vals, vecs = at.eigsh(op, k=3, which="LA", tol=1e-8, ncv=32,
+                              maxiter=3000)
+        assert max(_residuals(a, vals, vecs)) < 1e-7
+
+    def test_powerlaw_routes_hybrid(self):
+        from arpack_ng_tpu.models import corpus
+        a = corpus.powerlaw_graph(12000)
+        deg = np.diff(a.indptr)
+        assert deg.max() > 3 * np.percentile(deg, 95)  # genuine hubs
+        op = ops_sparse.from_scipy(a, hermitian=True)
+        # hub rows must NOT pad every row to the hub degree
+        assert op.format == "hyb"
+        vals, vecs = at.eigsh(op, k=3, which="LA", tol=1e-8, ncv=32,
+                              maxiter=3000)
+        assert max(_residuals(a, vals, vecs)) < 1e-7
+
+    def test_saddle_point_routes_dia(self):
+        from arpack_ng_tpu.models import corpus
+        a = corpus.saddle_point(70)  # n = 9800, indefinite KKT
+        op = ops_sparse.from_scipy(a, hermitian=True)
+        assert op.format == "dia"
+        vals, vecs = at.eigsh(op, k=3, which="LM", tol=1e-8, ncv=32,
+                              maxiter=3000)
+        assert max(_residuals(a, vals, vecs)) < 1e-7
+        # indefinite: the small end is negative (LM must straddle zero
+        # magnitudes correctly)
+        vals_sa = at.eigsh(op, k=2, which="SA", tol=1e-6, ncv=32,
+                           maxiter=4000, return_eigenvectors=False)
+        assert vals_sa.min() < 0
+
+    def test_hyb_matvec_matches_scipy(self, rng):
+        """The hybrid split itself (ELL body + COO tail) is exact."""
+        from arpack_ng_tpu.models import corpus
+        import jax.numpy as jnp
+        a = corpus.powerlaw_graph(5000, seed=3)
+        op = ops_sparse.from_scipy(a, hermitian=True, format="hyb")
+        x = rng.standard_normal(a.shape[0])
+        xp = np.zeros(op.n_pad)
+        xp[:op.n] = x
+        y = np.asarray(op.a_apply(jnp.asarray(xp)))[:op.n]
+        np.testing.assert_allclose(y, a @ x, rtol=1e-12, atol=1e-12)

@@ -106,3 +106,33 @@ class TestCGSKernels:
         for i in range(4):
             r = np.linalg.norm(a @ vecs_p[:, i] - vals_p[i] * vecs_p[:, i])
             assert r < 1e-3
+
+    def test_rotate_rows_inplace_kernel(self, rng):
+        """make_rotate_rows (dsapps kev-row restart rotation): top rows
+        match Q[:, :R]^T V, the aliased tail is preserved untouched, and
+        bf16 storage accumulates in f32."""
+        from arpack_ng_tpu.ops import pallas_rot
+        ncv, npan = 32, 64
+        V = jnp.asarray(rng.standard_normal((ncv, npan, 128)) * 1e-1,
+                        dtype=jnp.float32)
+        Q = jnp.asarray(rng.standard_normal((ncv, ncv)), jnp.float32)
+        for rows in (8, 16, 24):
+            k = pallas_rot.make_rotate_rows(ncv, rows, npan, "float32",
+                                            "float32", interpret=True)
+            out = np.asarray(k(Q[:, :rows], V))
+            ref = np.einsum("ij,ipl->jpl", np.asarray(Q[:, :rows]),
+                            np.asarray(V))
+            np.testing.assert_allclose(out[:rows], ref, rtol=1e-4,
+                                       atol=1e-5)
+            np.testing.assert_array_equal(out[rows:],
+                                          np.asarray(V)[rows:])
+        kb = pallas_rot.make_rotate_rows(ncv, 16, npan, "bfloat16",
+                                         "float32", interpret=True)
+        Vb = V.astype(jnp.bfloat16)
+        outb = np.asarray(kb(Q[:, :16].astype(jnp.bfloat16), Vb)
+                          .astype(jnp.float32))
+        refb = np.einsum("ij,ipl->jpl",
+                         np.asarray(Q[:, :16].astype(jnp.bfloat16)
+                                    .astype(jnp.float32)),
+                         np.asarray(Vb.astype(jnp.float32)))
+        np.testing.assert_allclose(outb[:16], refb, rtol=2e-2, atol=2e-2)
