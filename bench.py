@@ -202,7 +202,7 @@ def main():
           f"-> vs_ref_alg={vs_ref:.3f} vs_self={vs_self:.3f} "
           f"platform={jax.devices()[0].platform}", file=sys.stderr)
     print(f"# achievable wall at MEASURED per-pattern ceilings "
-          f"(420/610/280 GB/s) = {achievable*1e3:.1f}ms -> "
+          f"(420/610/515 GB/s) = {achievable*1e3:.1f}ms -> "
           f"wall/achievable = {1.0/max(vs_achievable, 1e-12):.2f} "
           f"(vs_achievable={vs_achievable:.3f})", file=sys.stderr)
     print(json.dumps({

@@ -62,14 +62,19 @@ def main():
 
     import jax
     if args.small:
+        # CPU sanity tier: skip the persistent cache (the relay-oriented
+        # cache emits AOT machine-feature warnings on this host CPU)
         jax.config.update("jax_platforms", "cpu")
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
+    else:
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/root/repo/.jax_cache")
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1)
+        except Exception:
+            pass
 
     from arpack_ng_tpu.models import corpus
     from arpack_ng_tpu.ops.sparse import from_scipy
