@@ -469,7 +469,13 @@ class FusedSymSolver:
             self._init_v0 = hoisted_jit(init)
             if user:
                 self._head = hoisted_jit(head, donate_argnums=(0,))
-                self._tailu = hoisted_jit(tailu, donate_argnums=(0,))
+                # donate only the state (big buffers); the reduced-space
+                # HeadOut leaves are inputs XLA cannot reuse (avoids the
+                # unusable-donation warning)
+                self._tailu = hoisted_jit(
+                    lambda st, rest, is_last, sh: tailu(
+                        HeadOut(st, *rest), is_last, sh),
+                    donate_argnums=(0,))
             else:
                 self._cycle = hoisted_jit(cycle, donate_argnums=(0,))
                 self._multi = hoisted_jit(multi, donate_argnums=(0,))
@@ -495,8 +501,11 @@ class FusedSymSolver:
                                      in_shardings=(st_sh,),
                                      out_shardings=h_sh)
                 self._tailu = jax.jit(
-                    tailu, donate_argnums=(0,),
-                    in_shardings=(h_sh, rep, rep), out_shardings=out_sh)
+                    lambda st, rest, is_last, sh: tailu(
+                        HeadOut(st, *rest), is_last, sh),
+                    donate_argnums=(0,),
+                    in_shardings=(st_sh, tuple(h_sh[1:]), rep, rep),
+                    out_shardings=out_sh)
             else:
                 self._cycle = jax.jit(
                     cycle, donate_argnums=(0,),
@@ -567,7 +576,8 @@ class FusedSymSolver:
                 sh = np.zeros((np0,), np.float64)
                 sh[:np_eff] = shifts[:np_eff].real
                 with timers.timed("tapps"):
-                    out = self._tailu(h, jnp.bool_(False),
+                    out = self._tailu(h.state, tuple(h[1:]),
+                                      jnp.bool_(False),
                                       jnp.asarray(sh, rdt))
                     state = out.state
         nconv = int(nconv_h)
