@@ -104,13 +104,23 @@ def sym_eigt(alpha: np.ndarray, beta: np.ndarray, rnorm: float,
     if k == 1:
         return alpha.copy(), np.array([abs(rnorm)]), np.ones((1, 1))
     if _native.available():
-        if need_vectors:
-            ritz, S = _native.steqr(np.asarray(alpha, np.float64),
-                                    np.asarray(beta, np.float64))
-            return ritz, np.abs(rnorm * S[-1, :]), S
-        ritz, bounds = _native.stqrb(np.asarray(alpha, np.float64),
-                                     np.asarray(beta, np.float64), rnorm)
-        return ritz, bounds, None
+        # the native QL can hit its sweep cap on pathological
+        # tridiagonals (observed once on an f32 floor-tolerance H at
+        # n=1M) — same class of failure dsteqr reports via info>0
+        # (reference maps it to dsaupd info=-8); LAPACK's bidiagonal
+        # DC solver below handles those, so fall back instead of
+        # failing the solve
+        try:
+            if need_vectors:
+                ritz, S = _native.steqr(np.asarray(alpha, np.float64),
+                                        np.asarray(beta, np.float64))
+                return ritz, np.abs(rnorm * S[-1, :]), S
+            ritz, bounds = _native.stqrb(np.asarray(alpha, np.float64),
+                                         np.asarray(beta, np.float64),
+                                         rnorm)
+            return ritz, bounds, None
+        except RuntimeError:
+            pass
     ritz, S = sla.eigh_tridiagonal(alpha, beta[: k - 1])
     bounds = np.abs(rnorm * S[-1, :])
     return ritz, bounds, (S if need_vectors else None)

@@ -133,3 +133,27 @@ class TestSymShiftQIllConditioned:
                 np.diag(d) + np.diag(e[: n - 1], 1)
                 + np.diag(e[: n - 1], -1)))
             np.testing.assert_allclose(wc, w0, atol=5e-12 * scale)
+
+
+def test_sym_eigt_falls_back_when_native_ql_fails(monkeypatch):
+    """The native QL can exhaust its sweep cap (observed on an f32
+    floor-tolerance H at n=1M, round 4); sym_eigt must fall back to
+    LAPACK instead of failing the solve (the reference would surface
+    dsteqr's info>0 as dsaupd info=-8)."""
+    import numpy as np
+    from arpack_ng_tpu.core import reduced
+    from arpack_ng_tpu import native as _native
+
+    def boom(*a, **k):
+        raise RuntimeError("atpu_steqr_d failed: info=1")
+
+    monkeypatch.setattr(_native, "steqr", boom)
+    monkeypatch.setattr(_native, "stqrb", boom)
+    rng = np.random.default_rng(0)
+    alpha = rng.standard_normal(12)
+    beta = np.abs(rng.standard_normal(11))
+    ritz, bounds, S = reduced.sym_eigt(alpha, beta, 0.5)
+    ref = np.sort(np.linalg.eigvalsh(np.diag(alpha) + np.diag(beta, 1)
+                                     + np.diag(beta, -1)))
+    np.testing.assert_allclose(np.sort(ritz), ref, rtol=1e-12)
+    assert S is not None and bounds.shape == (12,)
