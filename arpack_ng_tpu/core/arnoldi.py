@@ -737,6 +737,16 @@ def make_extend(op: Operator, cfg: IRAMConfig):
     eps_eff = float(np.sqrt(float(n)) * _dt.eps(dtype) + _dt.eps(sdt))
     tau = jnp.asarray(np.sqrt(eps_eff) / _dt.SELECTIVE_SAFETY, rdt)
     eps1 = jnp.asarray(eps_eff, rdt)
+    # eta-subset selection for reorth EVENTS (Larsen/PROPACK): when the
+    # omega recurrence fires, only rows with omega_i > eta actually lost
+    # orthogonality (typically the few converged Ritz directions) —
+    # reorthogonalizing against just those keeps every un-touched row
+    # below eta = eps_eff^(3/4) << tau, preserving semi-orthogonality
+    # while streaming K << ncv basis rows per event.  Measured round 4:
+    # reorth events were the DOMINANT flagship traffic term (495 events
+    # x 2 full-V passes = 127 GB vs 42 GB of recurrence steps).
+    eta_sub = jnp.asarray(eps_eff ** 0.75, rdt)
+    neg_inf = jnp.asarray(-jnp.inf, rdt)
 
     def _omega_update(a, b, wp, wc, j, wnorm, beta_j):
         """One row of Simon's omega recurrence (signed terms, abs at the
@@ -813,55 +823,90 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             need = (jnp.max(wn) > tau) | (force > 0)
             counts = counts.add(
                 nrorth=jnp.where(need, 1, 0).astype(jnp.int32))
+            rows_full = jnp.minimum((j // _BUCKET + 1) * _BUCKET,
+                                    jnp.int32(ncv))
+
+            def subset_pass(r, br):
+                """One CGS pass against the eta-selected rows only
+                (Larsen/PROPACK): rows with omega above eps^(3/4),
+                bucketed to K by the same lax.switch trick; below-
+                threshold rows padded into the top-K gather are cleaned
+                too (harmless), stale rows (col > j) are masked out."""
+                sel_key = jnp.where(col_idx <= j, wn, neg_inf)
+                order = jnp.argsort(-sel_key)
+                cnt = jnp.sum(sel_key > eta_sub).astype(jnp.int32)
+
+                def mk(K):
+                    def f(_):
+                        idx = order[:K]
+                        valid = jnp.take(sel_key, idx) > neg_inf
+                        Vg = jnp.take(V, idx, axis=0)
+                        s_k = _proj(Vg, br)
+                        s_k = jnp.where(valid, s_k, jnp.zeros((), dtype))
+                        r2 = r - _comb(s_k, Vg)
+                        reset = jnp.zeros((ncv,), bool).at[idx].set(valid)
+                        return r2, reset, jnp.int32(K)
+                    return f
+
+                if _nbuckets == 1:
+                    return mk(ncv)(None)
+                bket = jnp.minimum(
+                    jnp.maximum(cnt - 1, 0) // _BUCKET, _nbuckets - 1)
+                return lax.switch(bket,
+                                  [mk(rws) for rws in _bucket_rows], None)
 
             def run_reorth(args):
-                r, br, rnorm = args
-                out = lax.while_loop(
-                    dgks_cond_pro, dgks_body_pro,
-                    (r, br, rnorm, jnp.int32(0), jnp.int32(0),
-                     jnp.int32(0)))
-                r, br, rn, passes, nfail, status = out
-                in_span = status == 2
-                r = jnp.where(in_span, jnp.zeros_like(r), r)
-                br = jnp.where(in_span, jnp.zeros_like(br), br)
-                rn = jnp.where(in_span, jnp.zeros_like(rn), rn)
-                return r, br, rn, nfail, passes
+                r, br, rn_prev = args
+                r1, reset, K = subset_pass(r, br)
+                br1 = b_apply(r1)
+                rn1 = bnorm(r1, br1).astype(rdt)
+                accept1 = rn1 > eta * rn_prev
 
-            def dgks_cond_pro(c):
-                return c[5] == 0
+                def full_fallback(a):
+                    # doubtful case (norm still collapsed): one FULL
+                    # bucketed pass, then the reference's span-declare
+                    # give-up (SRC/dsaitr.f:773-781)
+                    r1, br1, rn1 = a
+                    s = jnp.where(col_idx <= j, _proj_upto(V, br1, j),
+                                  jnp.zeros((), dtype))
+                    r2 = _update_upto(r1, s, V, j)
+                    br2 = b_apply(r2)
+                    rn2 = bnorm(r2, br2).astype(rdt)
+                    in_span = ~(rn2 > eta * rn1)
+                    r2 = jnp.where(in_span, jnp.zeros_like(r2), r2)
+                    br2 = jnp.where(in_span, jnp.zeros_like(br2), br2)
+                    rn2 = jnp.where(in_span, jnp.zeros_like(rn2), rn2)
+                    return (r2, br2, rn2,
+                            jnp.int32(1) + in_span.astype(jnp.int32),
+                            jnp.int32(2), rows_full)
 
-            def dgks_body_pro(c):
-                r, br, rn_prev, passes, nfail, _ = c
-                nmask_le = col_idx <= j
-                # project with B r (identity for bmat='I'): the full
-                # bucketed CGS pass in the B-inner product
-                s = jnp.where(nmask_le, _proj_upto(V, br, j),
-                              jnp.zeros((), dtype))
-                r = _update_upto(r, s, V, j)
-                br = b_apply(r)
-                rn = bnorm(r, br).astype(rdt)
-                accept = rn > eta * rn_prev
-                give_up = (~accept) & (passes + 1 >= _MAX_DGKS_PASSES)
-                status = jnp.where(accept, jnp.int32(1),
-                                   jnp.where(give_up, jnp.int32(2),
-                                             jnp.int32(0)))
-                nfail = nfail + jnp.where(accept, 0, 1).astype(jnp.int32)
-                return (r, br, rn, passes + 1, nfail, status)
+                def no_fb(a):
+                    r1, br1, rn1 = a
+                    return (r1, br1, rn1, jnp.int32(0), jnp.int32(1),
+                            jnp.int32(0))
+
+                r, br, rn, nfail, passes, extra_rows = lax.cond(
+                    accept1, no_fb, full_fallback, (r1, br1, rn1))
+                return (r, br, rn, nfail, passes, K + extra_rows,
+                        reset | (extra_rows > 0))
 
             def skip_reorth(args):
-                r, br, rnorm = args
-                return r, br, rnorm, jnp.int32(0), jnp.int32(0)
+                r, br, rn_prev = args
+                return (r, br, rn_prev, jnp.int32(0), jnp.int32(0),
+                        jnp.int32(0), jnp.zeros((ncv,), bool))
 
-            r, br, rnorm, nfail, rpasses = lax.cond(
+            (r, br, rnorm, nfail, rpasses, rrows, reset) = lax.cond(
                 need, run_reorth, skip_reorth, (r, br, rnorm))
             counts = counts.add(nitref=nfail,
-                                nbx=(rpasses * nbx1).astype(jnp.int32))
-            # post-event omega: the refreshed vector is clean against all
-            # of V; reorthogonalize the NEXT step too (pair rule: both
+                                nbx=(rpasses * nbx1).astype(jnp.int32),
+                                nrorthr=rrows)
+            # post-event omega: reorthogonalized rows drop to the eps
+            # floor, untouched rows keep their (sub-eta) values;
+            # reorthogonalize the NEXT step too (pair rule: both
             # carriers of the three-term recurrence must be clean before
             # omega growth can restart from the eps floor) unless this
             # event WAS the forced follow-up
-            wn = jnp.where(need, jnp.full((ncv,), eps1, rdt), wn)
+            wn = jnp.where(reset, jnp.full((ncv,), eps1, rdt), wn)
             force_out = jnp.where(need & (force == 0), jnp.int32(1),
                                   jnp.int32(0))
             st = st._replace(V=V, H=H, resid=r, b_resid=br, rnorm=rnorm,

@@ -35,11 +35,15 @@ class OpCounts(NamedTuple):
     #                      writes only the surviving rows, so this feeds the
     #                      honest rotation-traffic model in bench.py.
     #                      No reference stat.h analog (extension).
+    nrorthr: jnp.ndarray  # total basis rows STREAMED by reorthogonalization
+    #                      passes on the selective path (eta-subset events
+    #                      read K << ncv rows) — the reorth-traffic model
+    #                      input.  No reference analog (extension).
 
     @classmethod
     def zeros(cls) -> "OpCounts":
         z = jnp.zeros((), jnp.int32)
-        return cls(z, z, z, z, z, z)
+        return cls(z, z, z, z, z, z, z)
 
     def add(self, **deltas) -> "OpCounts":
         return self._replace(
@@ -105,6 +109,7 @@ class SolverStats:
     nitref: int = 0
     nrstrt: int = 0
     nrotr: int = 0
+    nrorthr: int = 0
     timers: Timers = dataclasses.field(default_factory=Timers)
 
     def absorb_counts(self, counts: OpCounts) -> None:

@@ -94,7 +94,8 @@ def main():
         out = solver._multi(state, jnp.int32(2), jnp.int32(10_000))
         float(jax.device_get(out.state.rnorm))
 
-        tot = dict(dt=0.0, cycles=0, matvecs=0, refines=0, extra=0, rotr=0)
+        tot = dict(dt=0.0, cycles=0, matvecs=0, refines=0, extra=0,
+                   rotr=0, selr=0)
         seed = 1000
         while tot["cycles"] < target_cycles:
             state = solver.init_state(jax.random.key(seed))
@@ -113,6 +114,7 @@ def main():
             tot["refines"] += int(c1.nrorth) - int(c0.nrorth)
             tot["extra"] += int(c1.nitref) - int(c0.nitref)
             tot["rotr"] += int(c1.nrotr) - int(c0.nrotr)
+            tot["selr"] += int(c1.nrorthr) - int(c0.nrorthr)
         return tot
 
     ref = measure(make_solver("dgks"))        # the reference algorithm
@@ -161,11 +163,11 @@ def main():
     # ---- roofline 2: the PRODUCTION algorithm's OWN traffic --------------
     # 32 B/point per recurrence step (benchmarks/bench_step_breakdown.py:
     # resid read + V-row write + stencil in/out + w + v_{j-1} read +
-    # r write, conservatively fused), 2 V-passes per reorth pass
-    # (events + extra DGKS passes), kev-row rotation per restart.
-    self_traffic = (steps * 32 * n
-                    + (prod["refines"] + prod["extra"]) * 2 * v_bytes
-                    + rot_bytes)
+    # r write, conservatively fused), 2 row-passes per basis row the
+    # eta-subset reorthogonalization actually streamed (counted in
+    # OpCounts.nrorthr), kev-row rotation per restart.
+    reorth_bytes = 2 * prod["selr"] * row_bytes
+    self_traffic = (steps * 32 * n + reorth_bytes + rot_bytes)
     vs_self = (self_traffic / bw_bytes) / prod["dt"]
 
     # ---- diagnostic: wall vs the MEASURED per-pattern ceilings -----------
@@ -179,7 +181,7 @@ def main():
     # below uses those measured ceilings per component; wall/achievable
     # says how much is left for SOFTWARE to recover.
     achievable = (steps * 32 * n / 420e9
-                  + (prod["refines"] + prod["extra"]) * 2 * v_bytes / 610e9
+                  + reorth_bytes / 610e9
                   + rot_bytes / 515e9)
     vs_achievable = achievable / prod["dt"]
 
@@ -192,7 +194,8 @@ def main():
           f"per-matvec={ref_per_mv*1e3:.2f}ms", file=sys.stderr)
     print(f"# production(selective): cycles={prod['cycles']} "
           f"matvecs={prod['matvecs']} refines={prod['refines']} "
-          f"(+{prod['extra']} extra passes) wall={prod['dt']:.3f}s "
+          f"(+{prod['extra']} extra passes, {prod['selr']} subset rows) "
+          f"wall={prod['dt']:.3f}s "
           f"per-matvec={prod_per_mv*1e3:.2f}ms "
           f"measured speedup vs dgks={ref_per_mv/prod_per_mv:.2f}x",
           file=sys.stderr)
