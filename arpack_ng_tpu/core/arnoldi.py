@@ -745,7 +745,12 @@ def make_extend(op: Operator, cfg: IRAMConfig):
     # while streaming K << ncv basis rows per event.  Measured round 4:
     # reorth events were the DOMINANT flagship traffic term (495 events
     # x 2 full-V passes = 127 GB vs 42 GB of recurrence steps).
-    eta_sub = jnp.asarray(eps_eff ** 0.75, rdt)
+    # cap below tau: with narrow (bf16) storage eps_eff^(3/4) can exceed
+    # the trigger threshold — the selection must always include the rows
+    # that caused the event
+    eta_sub = jnp.asarray(
+        min(eps_eff ** 0.75,
+            float(np.sqrt(eps_eff) / _dt.SELECTIVE_SAFETY) / 2.0), rdt)
     neg_inf = jnp.asarray(-jnp.inf, rdt)
 
     def _omega_update(a, b, wp, wc, j, wnorm, beta_j):

@@ -42,6 +42,7 @@ import numpy as np
 from ..config import pad_dim
 from ..ops.operator import Operator
 from ..utils import dtypes as _dt
+from ..utils.hoist import hoisted_jit
 
 
 class BlockState(NamedTuple):
@@ -188,8 +189,12 @@ def eigsh_block(op_or_a, k: int = 6, *, block_size: int = 2,
     eps23 = _dt.eps23(dt)
     init, cycle, extract, kev = make_block_solver(op, b, k, ncv, dt,
                                                   seed=seed)
-    jinit = jax.jit(init)
-    jcycle = jax.jit(cycle, donate_argnums=(0,))
+    # hoisted_jit keeps captured operator arrays (DIA diagonals, dense
+    # matrices) out of the lowered module — a 65-diagonal n=1M operator
+    # would otherwise embed ~0.5 GB of literals into the remote compile
+    # request (utils/hoist.py; the relay rejects such modules)
+    jinit = hoisted_jit(init)
+    jcycle = hoisted_jit(cycle, donate_argnums=(0,))
     st = jinit(jax.random.key(seed))
     nconv = 0
     for it in range(maxiter):
