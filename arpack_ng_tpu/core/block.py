@@ -53,12 +53,32 @@ class BlockState(NamedTuple):
 
 
 def _qr_rows(W):
-    """Row-stored thin QR of the block: with column matrices
+    """Row-stored thin QR of the block via CholQR2: with column matrices
     ``W_c = W_rows^T = Q_c R`` (R upper b x b), returns
     ``(Q_c^T as rows, R)``; the new-block coupling H[new, cur] equals R
-    (v_p^T A v_q = (Q_c^T W_c)_{pq} = R_{pq})."""
-    q, r = jnp.linalg.qr(W.reshape(W.shape[0], -1).T)
-    return q.T.reshape(W.shape), r
+    (v_p^T A v_q = (Q_c^T W_c)_{pq} = R_{pq}).
+
+    CholQR (Gram cholesky + triangular solve) costs two streaming passes
+    over the (b, n) block and a b x b factorization — vs a Householder
+    QR of an (n, b) panel, which is both compile- and runtime-expensive
+    on this hardware; applied twice (CholQR2) the orthogonality defect
+    is eps-level for any block the preceding CGS left well-conditioned.
+    A tiny trace-scaled ridge guards rank-deficient blocks (breakdown
+    surfaces as a huge R entry, caught by the bounds test)."""
+    import jax.scipy.linalg as jsl
+    shp = W.shape
+    Wf = W.reshape(shp[0], -1)
+
+    def one(Wf):
+        G = Wf @ Wf.T
+        ridge = jnp.asarray(1e-30, G.dtype) +             jnp.finfo(G.dtype).eps * jnp.trace(G) / shp[0]
+        L = jnp.linalg.cholesky(G + ridge * jnp.eye(shp[0], dtype=G.dtype))
+        Qf = jsl.solve_triangular(L, Wf, lower=True)
+        return Qf, L.T
+
+    Q1, R1 = one(Wf)
+    Q2, R2 = one(Q1)
+    return Q2.reshape(shp), R2 @ R1
 
 
 def make_block_solver(op: Operator, b: int, nev: int, ncv: int,
