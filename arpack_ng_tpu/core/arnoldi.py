@@ -40,6 +40,7 @@ from jax import lax
 from ..config import IRAMConfig
 from ..ops.operator import Operator
 from ..utils import dtypes as _dt
+from ..utils.precision import hiprec
 from ..utils.stats import OpCounts
 
 # Max refinement passes in the Arnoldi step: 1 initial + 1 extra
@@ -141,7 +142,10 @@ def rotate_basis_kev(Q, V, kev, acc_dtype, need_next: bool = True,
     extension writes row j before reading it.  ``kev`` is traced; the
     output row count is bucketed to multiples of 8 via ``lax.switch`` so
     every branch stays a static-shape contraction (same trick as the
-    bucketed CGS).  Results are bit-identical to the full rotation.
+    bucketed CGS).  Dead rows never contribute, so results match the
+    full rotation exactly up to the executing dot's own accumulation
+    order (the Pallas path is gated to f32-compute solves so wide-
+    accumulation configurations keep their XLA dot).
 
     Traffic: (ncv reads + R writes) of V instead of (ncv + ncv) —
     at the flagship's ncv=32 / kev≈9-12 that removes ~25% of the bytes
@@ -166,12 +170,19 @@ def rotate_basis_kev(Q, V, kev, acc_dtype, need_next: bool = True,
     nb = max(1, -(-ncv // _ROT_BUCKET))
     rows_list = [min((b + 1) * _ROT_BUCKET, ncv) for b in range(nb)]
 
+    import os
+    if os.environ.get("ARPACK_TPU_NO_PALLAS_ROT"):
+        pallas_ok = False            # debug escape hatch
     on_tpu = jax.default_backend() == "tpu"
     use_pl = (pallas_ok and on_tpu
               and V.ndim == 3 and V.shape[2] == 128
               and V.shape[1] % 8 == 0
               and jnp.dtype(V.dtype) in (jnp.dtype(jnp.float32),
                                          jnp.dtype(jnp.bfloat16))
+              # the kernel accumulates in f32: restrict to f32-compute
+              # solves so a f64-compute/f32-storage run keeps its f64
+              # accumulation (full rotation below)
+              and jnp.dtype(acc_dtype) == jnp.dtype(jnp.float32)
               and not jnp.issubdtype(jnp.dtype(Q.dtype),
                                      jnp.complexfloating))
     if use_pl:
@@ -312,7 +323,8 @@ def make_init(op: Operator, cfg: IRAMConfig, v3d: Optional[bool] = None):
             counts=counts,
         )
 
-    return init
+    # matmul-precision pin (utils/precision.py): ghost-Ritz prevention
+    return hiprec(init)
 
 
 def make_extend(op: Operator, cfg: IRAMConfig):
@@ -853,8 +865,10 @@ def make_extend(op: Operator, cfg: IRAMConfig):
                         return r2, reset, jnp.int32(K)
                     return f
 
-                if _nbuckets == 1:
-                    return mk(ncv)(None)
+                import os as _os
+                if (_nbuckets == 1
+                        or _os.environ.get("ARPACK_TPU_FULL_REORTH")):
+                    return mk(ncv)(None)   # debug hatch: all rows
                 bket = jnp.minimum(
                     jnp.maximum(cnt - 1, 0) // _BUCKET, _nbuckets - 1)
                 return lax.switch(bket,
@@ -936,4 +950,7 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             (st, w0, w0, jnp.int32(0)))
         return st
 
-    return extend
+    # matmul-precision pin (utils/precision.py): the CGS/recurrence dots
+    # at DEFAULT precision truncate toward bf16 on TPU and break every
+    # orthogonality argument (measured ghost Ritz values, round 4)
+    return hiprec(extend)

@@ -39,10 +39,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import pad_dim
 from ..ops.operator import Operator
 from ..utils import dtypes as _dt
 from ..utils.hoist import hoisted_jit
+from ..utils.precision import hiprec
 
 
 class BlockState(NamedTuple):
@@ -96,6 +96,10 @@ def make_block_solver(op: Operator, b: int, nev: int, ncv: int,
     kev = -(-(nev + b) // b) * b            # static thick-restart size
     if kev + 2 * b > ncv:
         raise ValueError("need ncv >= kev + 2b (room to expand)")
+    if ncv + b > op.n:
+        raise ValueError(
+            f"ncv + b = {ncv + b} orthonormal basis rows cannot exist in "
+            f"an n = {op.n}-dimensional space (reference info = -3 class)")
     n, n_pad = op.n, op.n_pad
     if n_pad % 128:
         raise ValueError("n_pad must be a multiple of 128")
@@ -120,9 +124,9 @@ def make_block_solver(op: Operator, b: int, nev: int, ncv: int,
         W = W - jnp.einsum("sb,spl->bpl", c2, Vs)
         return W, c1 + c2
 
-    def _steps(V, H, W, s0, key, nmv):
-        """Extend: W is the current orthonormal block at rows [s0-b, s0);
-        run block steps until ncv rows are filled, returning the final
+    def _steps(V, H, s0, nmv):
+        """Extend: the current orthonormal block sits at rows [s0-b, s0);
+        run block steps until ncv rows are filled, leaving the final
         residual block (orthonormalized) at rows [ncv, ncv+b)."""
         s = s0
         while s + b <= ncv + b:
@@ -134,9 +138,8 @@ def make_block_solver(op: Operator, b: int, nev: int, ncv: int,
             V = V.at[s:s + b].set(Q)
             H = H.at[:s, s - b:s].set(coeff[:, :b].astype(dt))
             H = H.at[s - b:s, :s].set(coeff[:, :b].T.astype(dt))
-            if s + b <= ncv + b:
-                H = H.at[s:s + b, s - b:s].set(R.astype(dt))
-                H = H.at[s - b:s, s:s + b].set(R.T.astype(dt))
+            H = H.at[s:s + b, s - b:s].set(R.astype(dt))
+            H = H.at[s - b:s, s:s + b].set(R.T.astype(dt))
             s += b
         return V, H, nmv
 
@@ -149,7 +152,7 @@ def make_block_solver(op: Operator, b: int, nev: int, ncv: int,
         Q, _ = _qr_rows(X.reshape(b, npan, 128))
         V = jnp.zeros((nrow, npan, 128), dt).at[0:b].set(Q)
         H = jnp.zeros((nrow, nrow), dt)
-        V, H, nmv = _steps(V, H, Q, b, key, jnp.int32(0))
+        V, H, nmv = _steps(V, H, b, jnp.int32(0))
         return BlockState(V=V, H=H, key=key, nmv=nmv)
 
     def cycle(st: BlockState):
@@ -165,7 +168,6 @@ def make_block_solver(op: Operator, b: int, nev: int, ncv: int,
         wanted_idx = jnp.arange(ncv - kev, ncv)     # kept kev (wanted last)
         theta_k = theta[wanted_idx]
         S_k = S[:, wanted_idx]
-        bounds_k = bounds[wanted_idx]
         # thick restart: V[:kev] = S_k^T V[:ncv]; residual block moves down
         Vk = jnp.einsum("sk,spl->kpl", S_k.astype(dt), V[:ncv])
         Wb = V[ncv:nrow]
@@ -176,7 +178,7 @@ def make_block_solver(op: Operator, b: int, nev: int, ncv: int,
         arrow = (Bp @ S_k[ncv - b:ncv, :]).astype(dt)    # (b, kev)
         Hn = Hn.at[kev:kev + b, :kev].set(arrow)
         Hn = Hn.at[:kev, kev:kev + b].set(arrow.T)
-        V, Hn, nmv = _steps(V, Hn, Wb, kev + b, st.key, st.nmv)
+        V, Hn, nmv = _steps(V, Hn, kev + b, st.nmv)
         return (BlockState(V=V, H=Hn, key=st.key, nmv=nmv),
                 theta[ncv - nev:], bounds[ncv - nev:])
 
@@ -189,7 +191,7 @@ def make_block_solver(op: Operator, b: int, nev: int, ncv: int,
         vecs = (S[:, -nev:].T @ V)[:, :n].T
         return theta[-nev:], vecs
 
-    return init, cycle, extract, kev
+    return hiprec(init), hiprec(cycle), extract, kev
 
 
 def eigsh_block(op_or_a, k: int = 6, *, block_size: int = 2,
@@ -204,6 +206,9 @@ def eigsh_block(op_or_a, k: int = 6, *, block_size: int = 2,
     b = block_size
     ncv = ncv or max(4 * b, 2 * (-(-(k + b) // b) * b) + 2 * b)
     ncv = -(-ncv // b) * b
+    # clamp into the space like eigsh's min(ncv, n) convention
+    if ncv + b > op.n:
+        ncv = (op.n - b) // b * b
     dt = np.dtype(dtype or op.dtype)
     tol_eff = tol if tol > 0 else _dt.default_tol(dt)
     eps23 = _dt.eps23(dt)

@@ -42,6 +42,7 @@ from ..ops.operator import Operator
 from ..utils import dtypes as _dt
 from ..utils.debug import debug, device_trace
 from ..utils.hoist import hoisted_jit
+from ..utils.precision import hiprec
 from ..utils.stats import SolverStats, Timers
 from . import reduced
 from .arnoldi import (FactorizationState, make_bnorm, make_extend,
@@ -314,7 +315,7 @@ def make_cplx_cycle(op: Operator, cfg: IRAMConfig):
         return CycleOut(state=state, done=done, nconv=nconv,
                         ritz_s=r_s, bounds_s=b_s)
 
-    return cycle
+    return hiprec(cycle)
 
 
 def make_cplx_multi_cycle(op: Operator, cfg: IRAMConfig):

@@ -59,6 +59,7 @@ from ..ops.operator import Operator
 from ..utils import dtypes as _dt
 from ..utils.debug import debug, device_trace
 from ..utils.hoist import hoisted_jit
+from ..utils.precision import hiprec
 from ..utils.stats import SolverStats, Timers
 from . import reduced
 from .arnoldi import (FactorizationState, make_bnorm, make_extend,
@@ -504,7 +505,7 @@ def make_realnonsym_cycle(op: Operator, cfg: IRAMConfig,
         return RealCycleOut(state=state, done=done, nconv=nconv,
                             wr_s=wr_s, wi_s=wi_s, bounds_s=b_s)
 
-    return cycle
+    return hiprec(cycle)
 
 
 def make_realnonsym_multi_cycle(op: Operator, cfg: IRAMConfig,

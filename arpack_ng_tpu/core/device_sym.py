@@ -47,6 +47,7 @@ from ..ops.operator import Operator
 from ..utils import dtypes as _dt
 from ..utils.debug import debug, device_trace
 from ..utils.hoist import hoisted_jit
+from ..utils.precision import hiprec
 from ..utils.stats import SolverStats, Timers
 from . import reduced
 from .arnoldi import (FactorizationState, make_bnorm, make_extend,
@@ -199,7 +200,7 @@ def make_sym_head(op: Operator, cfg: IRAMConfig, inflate: bool = True):
                        b_s=b_s, r_si=r_si, b_si=b_si, nconv=nconv,
                        done=done, nev_eff=nev_eff, np_eff=np_eff)
 
-    return head
+    return hiprec(head)
 
 
 def _make_be_arrange(ncv: int):
@@ -368,7 +369,7 @@ def make_sym_tail(op: Operator, cfg: IRAMConfig, user_shifts: bool = False,
         return CycleOut(state=state, done=h.done, nconv=h.nconv,
                         ritz_s=h.r_s, bounds_s=h.b_s)
 
-    return tail
+    return hiprec(tail)
 
 
 def make_sym_cycle(op: Operator, cfg: IRAMConfig,

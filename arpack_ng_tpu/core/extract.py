@@ -264,8 +264,9 @@ def extract(op: Operator, cfg: IRAMConfig, result: IRAMResult,
                 Scols = Scols / np.linalg.norm(Scols, axis=0, keepdims=True)
 
         V = state.V  # basis on device (either layout; contract dim 0)
-        gemm = jax.jit(lambda s, v: jax.lax.dot_general(
-            s, v.astype(s.dtype), (((1,), (0,)), ((), ()))))
+        from ..utils.precision import hiprec
+        gemm = jax.jit(hiprec(lambda s, v: jax.lax.dot_general(
+            s, v.astype(s.dtype), (((1,), (0,)), ((), ())))))
         if (not _dt.is_complex(cfg.dtype)) and np.iscomplexobj(Scols):
             # real basis, complex reduced eigenvectors (conjugate pairs):
             # one real GEMM over the stacked [Re; Im] coefficients — the

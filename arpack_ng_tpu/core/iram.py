@@ -32,6 +32,7 @@ from ..ops.operator import Operator
 from ..utils import dtypes as _dt
 from ..utils.debug import debug, trace
 from ..utils.hoist import hoisted_jit
+from ..utils.precision import hiprec
 from ..utils.stats import SolverStats, Timers
 from . import reduced
 from .arnoldi import (FactorizationState, make_bnorm, make_extend,
@@ -116,6 +117,7 @@ class IRAMSolver:
 
     # -- device phase: rotate basis + update residual after shifts ---------
 
+    @hiprec
     def _cycle_tail(self, state: FactorizationState, Q, H_new, sigmak,
                     betak, kev) -> FactorizationState:
         """Device part of dsapps/dnapps + the end-of-cycle residual norm
@@ -138,6 +140,8 @@ class IRAMSolver:
         return state._replace(V=VQ, H=H_new, resid=resid, b_resid=b_resid,
                               rnorm=rnorm, k=kev, nev_cur=kev,
                               iter=state.iter + 1, counts=counts)
+
+
 
     # -- lifecycle ---------------------------------------------------------
 

@@ -55,7 +55,8 @@ def make_rotate(ncv: int, npan: int, v_dtype: str, acc_dtype: str,
         q = q_ref[...]                     # (ncv, ncv)
         blk = v_ref[...].reshape(ncv, P * LANE)
         out = jax.lax.dot_general(q, blk, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=adt)
+                                  preferred_element_type=adt,
+                                  precision=jax.lax.Precision.HIGHEST)
         o_ref[...] = out.reshape(ncv, P, LANE).astype(vdt)
 
     return pl.pallas_call(
@@ -104,7 +105,8 @@ def make_rotate_rows(ncv: int, rows: int, npan: int, v_dtype: str,
         q = q_ref[...]                     # (ncv, rows)
         blk = v_ref[...].reshape(ncv, P * LANE)
         out = jax.lax.dot_general(q, blk, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=adt)
+                                  preferred_element_type=adt,
+                                  precision=jax.lax.Precision.HIGHEST)
         o_ref[...] = out.reshape(rows, P, LANE).astype(vdt)
 
     return pl.pallas_call(

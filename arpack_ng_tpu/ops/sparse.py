@@ -41,7 +41,6 @@ def _to_ell(a: sp.spmatrix, n_pad: int, width: int = 0
     ELL+COO split (HYB of Bell & Garland's SpMV taxonomy) that keeps
     power-law matrices from padding every row to the hub degree."""
     csr = a.tocsr()
-    csr.sum_duplicates()
     n = csr.shape[0]
     nnz_per_row = np.diff(csr.indptr)
     wmax = int(nnz_per_row.max()) if n > 0 else 0
@@ -155,7 +154,8 @@ def from_scipy(a: sp.spmatrix, dtype=None, *, hermitian: bool = False,
 
     The chosen structure is recorded on ``Operator.format``.
     """
-    a = a.tocsr()
+    a = a.tocsr().copy()   # own the buffers: canonicalization below must
+    a.sum_duplicates()     # never mutate the caller's matrix
     if dtype is not None:
         a = a.astype(dtype)
     n = a.shape[0]
@@ -176,9 +176,9 @@ def from_scipy(a: sp.spmatrix, dtype=None, *, hermitian: bool = False,
             if structural_diagonals(ap) <= DIA_MAX_DIAGONALS:
                 a, perm, format = ap.tocsr(), p, "dia"
             else:
-                nnz_row = np.diff(a.tocsr().indptr)
-                w95 = max(int(np.ceil(np.percentile(nnz_row, 95))), 1)
-                if int(nnz_row.max()) > HYB_WASTE_FACTOR * w95:
+                nnz_row = np.diff(a.indptr)
+                hyb_w95 = max(int(np.ceil(np.percentile(nnz_row, 95))), 1)
+                if int(nnz_row.max()) > HYB_WASTE_FACTOR * hyb_w95:
                     format = "hyb"
                 else:
                     format = "ell"
@@ -198,10 +198,13 @@ def from_scipy(a: sp.spmatrix, dtype=None, *, hermitian: bool = False,
             return ell_matvec(cols, vals, x)
     elif format == "hyb":
         # hybrid ELL+COO: dense-gather the p95-width body, scatter-add
-        # the hub overflow (power-law degree distributions)
-        csr0 = a.tocsr()
-        nnz_row = np.diff(csr0.indptr)
-        w95 = max(int(np.ceil(np.percentile(nnz_row, 95))), 1)
+        # the hub overflow (power-law degree distributions); w95 from
+        # the format decision above when it ran, else recomputed
+        try:
+            w95 = hyb_w95
+        except NameError:
+            nnz_row = np.diff(a.tocsr().indptr)
+            w95 = max(int(np.ceil(np.percentile(nnz_row, 95))), 1)
         cols_np, vals_np, tail = _to_ell(a, n_pad, width=w95)
         cols = jnp.asarray(cols_np)
         vals = jnp.asarray(vals_np)

@@ -33,8 +33,13 @@ class TestBlockLanczos:
                                        tol=1e-10, maxiter=200,
                                        dtype=np.float64)
         assert info["nconv"] >= 4
-        np.testing.assert_allclose(np.sort(vals), [40.0, 50.0, 50.0, 50.0],
-                                   rtol=1e-9)
+        # degenerate-multiplet convention (CLAUDE.md): assert the
+        # multiplicity captured + residuals, never the exact value set
+        assert np.sum(np.abs(vals - 50.0) < 1e-8) >= 3
+        a = np.diag(d)
+        for i in range(4):
+            r = np.linalg.norm(a @ vecs[:, i] - vals[i] * vecs[:, i])
+            assert r < 1e-8
 
     def test_rejects_unsupported(self):
         from arpack_ng_tpu.core.block import make_block_solver
