@@ -23,17 +23,26 @@ BLAS).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
+
+#: matmul precision for solver contractions.  'highest' = full f32
+#: fidelity (the correctness default); 'high' (bf16_3x, input error
+#: ~2^-21) is numerically sufficient for every sqrt(eps_f32)-class
+#: orthogonality bound and can be selected via
+#: ARPACK_TPU_MATMUL_PRECISION for measurement.  'default' reproduces
+#: the ghost-Ritz failure — never use it.
+LEVEL = os.environ.get("ARPACK_TPU_MATMUL_PRECISION", "highest")
 
 
 def hiprec(fn):
     """Wrap a (traceable) callable so its body traces under
-    ``jax.default_matmul_precision('highest')``."""
+    ``jax.default_matmul_precision(LEVEL)``."""
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(LEVEL):
             return fn(*args, **kwargs)
 
     return wrapped
