@@ -744,9 +744,22 @@ def make_extend(op: Operator, cfg: IRAMConfig):
     # fresh per step (dsaitr ORTH1 semantics), and OP's B-self-adjointness
     # makes the same three-term recurrence exact.  The reference has no
     # analog (dsaitr always pays the full-CGS traffic).
-    # noise floor: f32/f64 inner products accumulate ~sqrt(n)*eps rounding;
-    # narrow (bf16) storage adds a per-element representation error eps(sdt)
-    eps_eff = float(np.sqrt(float(n)) * _dt.eps(dtype) + _dt.eps(sdt))
+    # noise floor.  The classical model charges sqrt(n)*eps per inner
+    # product (sequential-summation worst case); XLA reduces with
+    # TREE/pairwise summation on both CPU and TPU, whose rounding is
+    # ~log2(n)*eps, and the *stored-vector* orthogonality error is O(eps)
+    # (coordinate noise of unit vectors: <v+d1, w+d2> error ~ ||d|| ~ eps,
+    # no sqrt(n)).  At n=1M the sqrt(n) model (1.2e-4) exceeded reality by
+    # ~50x and the additive omega term alone forced a tau-crossing every
+    # ~4 steps — the event rate was set by the noise MODEL, not by true
+    # orthogonality decay (measured: 50% of steps paid a reorth event).
+    # Charge 8*log2(n)*eps (safety factor 8 over the pairwise bound,
+    # covering fma/segmented-reduction variation), plus the bf16 storage
+    # representation error when narrow storage is on.  Validated by the
+    # basis-defect property test and TPU value checks (docs/PERF.md
+    # round-4).
+    eps_eff = float(8.0 * np.log2(max(float(n), 2.0)) * _dt.eps(dtype)
+                    + _dt.eps(sdt))
     tau = jnp.asarray(np.sqrt(eps_eff) / _dt.SELECTIVE_SAFETY, rdt)
     eps1 = jnp.asarray(eps_eff, rdt)
     # eta-subset selection for reorth EVENTS (Larsen/PROPACK): when the
