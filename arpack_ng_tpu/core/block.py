@@ -108,10 +108,17 @@ def make_block_solver(op: Operator, b: int, nev: int, ncv: int,
     rdt = _dt.real_dtype(dt)
     nrow = ncv + b
 
-    # batched operator application over the block rows
+    # batched operator application over the block rows: prefer the
+    # block-native form (vmap of shifted-slice updates lowers to
+    # scatters on TPU — Operator.apply_block)
+    blk_fn = getattr(op, "apply_block", None)
+
     def a_block(Vb):                       # (b, npan, 128) -> same
         flat = Vb.reshape(b, n_pad)
-        out = jax.vmap(lambda x: op.apply(x, x)[0])(flat)
+        if blk_fn is not None:
+            out = blk_fn(flat)
+        else:
+            out = jax.vmap(lambda x: op.apply(x, x)[0])(flat)
         return out.reshape(b, npan, 128)
 
     def _ortho_block(V, s, W):

@@ -60,6 +60,11 @@ class Operator:
     format: Optional[str] = None    # execution structure chosen by the
     #   sparse importer ('dense'/'dia'/'ell'/'hyb'/'coo'); None for
     #   user-built operators.
+    apply_block: Optional[Callable] = None  # optional batched raw matvec
+    #   (B, n_pad) -> (B, n_pad) for block solvers: vmap of a
+    #   shifted-slice DIA matvec lowers .at[].add updates to scatters
+    #   (the forbidden pattern on TPU); a block-native form keeps static
+    #   slices and reads operator data once per block.
 
     def __post_init__(self):
         if self.n_pad == 0:

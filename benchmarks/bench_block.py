@@ -53,6 +53,25 @@ def build_dia(n, ndiag, dtype, seed=0):
         # row-aligned convention: diags[k][i] = A[i, i+off]
         diags += [d, np.roll(d, o)]
     mv = dia_matvec_fn(offsets, diags, n, n_pad)
+    dev = [jnp.asarray(d) for d in diags]
+
+    def mv_block(X):
+        """(B, n_pad) -> (B, n_pad): block-native DIA matvec — static
+        dim-1 slices (vmap of the 1-D form turns the shifted updates
+        into scatters); each diagonal is READ ONCE per block."""
+        xs = X[:, :n]
+        y = jnp.zeros_like(xs)
+        for d, diag in zip(offsets, dev):
+            if d == 0:
+                y = y + diag[None, :] * xs
+            elif d > 0:
+                y = y.at[:, : n - d].add(diag[None, : n - d] * xs[:, d:])
+            else:
+                m = -d
+                y = y.at[:, m:].add(diag[None, m:] * xs[:, : n - m])
+        if n_pad == n:
+            return y
+        return jnp.zeros((X.shape[0], n_pad), X.dtype).at[:, :n].set(y)
 
     def apply(v, bv):
         w = mv(v)
@@ -61,7 +80,7 @@ def build_dia(n, ndiag, dtype, seed=0):
     nnz = n * (2 * len(offs) + 1)
     return Operator(n=n, dtype=np.dtype(dtype), apply=apply, bmat="I",
                     mode=1, a_apply=mv, n_pad=n_pad, hermitian=True,
-                    format="dia"), nnz
+                    format="dia", apply_block=mv_block), nnz
 
 
 def time_block(op, k, b, ncv, tol, maxiter, dtype):
@@ -92,6 +111,7 @@ def time_scalar(op, k, ncv, tol, maxiter, dtype):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--only", choices=["stencil", "dia"], default=None)
     args = ap.parse_args()
     import jax
     if args.small:
@@ -123,10 +143,12 @@ def main():
     print("|---|---|---|---|---|---|")
 
     cases = []
-    op_st, _ = models.laplacian_2d(nx, dtype=dtype)
-    cases.append((f"stencil n={nx*nx}", op_st))
-    op_dia, nnz = build_dia(ndiag_n, 32, dtype)   # 65 diagonals
-    cases.append((f"dia65 n={ndiag_n}", op_dia))
+    if args.only in (None, "stencil"):
+        op_st, _ = models.laplacian_2d(nx, dtype=dtype)
+        cases.append((f"stencil n={nx*nx}", op_st))
+    if args.only in (None, "dia"):
+        op_dia, nnz = build_dia(ndiag_n, 32, dtype)   # 65 diagonals
+        cases.append((f"dia65 n={ndiag_n}", op_dia))
 
     for name, op in cases:
         dt, mv, vals = time_scalar(op, k, ncv, tol, 3000, dtype)
