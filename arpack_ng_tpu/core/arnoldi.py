@@ -175,6 +175,11 @@ def rotate_basis_kev(Q, V, kev, acc_dtype, need_next: bool = True,
         pallas_ok = False            # debug escape hatch
     on_tpu = jax.default_backend() == "tpu"
     use_pl = (pallas_ok and on_tpu
+              # under jax_enable_x64 the kernel's grid/index scalars
+              # become i64, which Mosaic refuses to legalize (observed:
+              # "failed to legalize operation 'func.return'" on the f32
+              # kernel in an x64 process) — full rotation there
+              and not jax.config.jax_enable_x64
               and V.ndim == 3 and V.shape[2] == 128
               and V.shape[1] % 8 == 0
               and jnp.dtype(V.dtype) in (jnp.dtype(jnp.float32),
