@@ -330,3 +330,43 @@ class TestSafeNorms:
         out = extract(op, cfg, res)
         np.testing.assert_allclose(np.sort(out.values), np.sort(d)[-3:],
                                    rtol=1e-9)
+
+
+class TestMatmulPrecisionPinning:
+    """Round-4 ghost-Ritz fix (docs/PERF.md): solver contractions MUST
+    trace under non-default matmul precision — XLA's default f32 dot
+    truncates MXU inputs toward bf16 on TPU and silently
+    de-orthogonalizes the basis.  These tests pin the wiring (the
+    numeric failure itself only manifests on TPU hardware)."""
+
+    def test_level_is_not_default(self):
+        from arpack_ng_tpu.utils import precision
+        assert precision.LEVEL in ("high", "highest")
+
+    def test_builders_are_wrapped(self):
+        import jax
+        from arpack_ng_tpu import models
+        from arpack_ng_tpu.config import IRAMConfig
+        from arpack_ng_tpu.core import arnoldi, device_sym
+
+        op, _ = models.laplacian_2d(8, dtype=np.float64)
+        cfg = IRAMConfig(n=op.n, nev=2, ncv=8, which="LA", symmetric=True,
+                         dtype=np.float64, n_pad=op.n_pad)
+        for fn in (arnoldi.make_init(op, cfg),
+                   arnoldi.make_extend(op, cfg),
+                   device_sym.make_sym_head(op, cfg),
+                   device_sym.make_sym_tail(op, cfg)):
+            # hiprec preserves identity via functools.wraps
+            assert getattr(fn, "__wrapped__", None) is not None, fn
+
+    def test_hiprec_context_applies(self):
+        import jax
+        from arpack_ng_tpu.utils.precision import hiprec
+        seen = {}
+
+        def probe():
+            seen["prec"] = jax.config.jax_default_matmul_precision
+            return 0
+
+        hiprec(probe)()
+        assert seen["prec"] in ("high", "highest")
