@@ -17,6 +17,8 @@ and SVD — redesigned for JAX/XLA/Pallas on TPU:
 from .api import (
     ArpackError,
     ArpackNoConvergence,
+    F64Validation,
+    PseudospectrumWarning,
     eigs,
     eigsh,
 )
@@ -44,6 +46,8 @@ __all__ = [
     "ArpackError",
     "ArpackNoConvergence",
     "EigenResult",
+    "F64Validation",
+    "PseudospectrumWarning",
     "FactorizationState",
     "IRAMConfig",
     "IRAMResult",

@@ -128,6 +128,105 @@ def _make_solver(op, cfg, shift_fn=None, mesh=None, strategy="auto"):
     return IRAMSolver(op, cfg, shift_fn=shift_fn, mesh=mesh)
 
 
+class PseudospectrumWarning(UserWarning):
+    """Single-precision non-normal eigenproblem caveat (docs/PERF.md
+    round-4): residual-converged Ritz values of a non-normal operator
+    solved in f32 may lie in the operator's eps_f32-pseudospectrum —
+    up to ~``eta*||A||`` OUTSIDE the true spectrum — while genuinely
+    satisfying their residual bound (which is all any Krylov method can
+    certify; the reference's snaupd shares the property)."""
+
+
+@dataclasses.dataclass
+class F64Validation:
+    """Report of ``eigs(..., validate='f64')``: the converged pairs
+    re-applied through a float64 operator (verdict: productized from the
+    docs/PERF.md round-4 pseudospectrum finding)."""
+
+    residuals: np.ndarray      # ||A v - lambda (M) v||_2 per pair, f64
+    rel_residuals: np.ndarray  # scaled by max(eps23, |lambda|) (dsconv)
+    tol_bar: float             # the solve's effective tolerance
+    passed: bool               # all rel_residuals <= tol_bar
+    nonnormality: float        # probe estimate of ||(A*A'-A'*A)z||/||A'Az||
+
+
+def _f64_validate(A_raw, M_raw, out, cfg, matvec64=None):
+    """Re-apply converged pairs through a float64 (complex128) operator
+    and estimate non-normality.  ``matvec64``: optional caller-supplied
+    f64 matvec for matrix-free problems (then non-normality is probed
+    with transpose unavailable and reported as nan)."""
+    vals = np.asarray(out.values)
+    vecs = out.vectors
+    if vecs is None or out.nconv == 0:
+        return None
+    cplx = np.iscomplexobj(vals) or np.iscomplexobj(vecs)
+    wdt = np.complex128 if cplx else np.float64
+    V = np.asarray(vecs, dtype=wdt)
+
+    if matvec64 is not None:
+        AV = np.stack([np.asarray(matvec64(V[:, j]), dtype=wdt)
+                       for j in range(V.shape[1])], axis=1)
+        nonnorm = float("nan")
+    else:
+        if hasattr(A_raw, "tocsr"):
+            A64 = A_raw.tocsr().astype(wdt)
+        else:
+            A64 = np.asarray(A_raw, dtype=wdt)
+        AV = A64 @ V
+        # stochastic non-normality probe: z -> ||(A A^H - A^H A) z|| /
+        # ||A^H A z|| over a few unit probes (exactly 0 for normal A)
+        rng = np.random.default_rng(0)
+        nonnorm = 0.0
+        AH = A64.conj().T
+        for _ in range(3):
+            z = rng.standard_normal(V.shape[0])
+            if cplx:
+                z = z + 1j * rng.standard_normal(V.shape[0])
+            z = z.astype(wdt) / np.linalg.norm(z)
+            aaz = AH @ (A64 @ z)
+            num = np.linalg.norm(A64 @ (AH @ z) - aaz)
+            den = max(np.linalg.norm(aaz), 1e-300)
+            nonnorm = max(nonnorm, float(num / den))
+    if M_raw is not None:
+        if hasattr(M_raw, "tocsr"):
+            M64 = M_raw.tocsr().astype(wdt)
+        else:
+            M64 = np.asarray(M_raw, dtype=wdt)
+        R = AV - (M64 @ V) * vals[None, :].astype(wdt)
+    else:
+        R = AV - V * vals[None, :].astype(wdt)
+    res = np.linalg.norm(R, axis=0) / np.maximum(
+        np.linalg.norm(V, axis=0), 1e-300)
+    eps23 = cfg.eps23
+    rel = res / np.maximum(np.abs(vals), eps23)
+    tol_bar = cfg.tol_effective
+    passed = bool(np.all(rel <= tol_bar))
+    rep = F64Validation(residuals=res, rel_residuals=rel,
+                        tol_bar=float(tol_bar), passed=passed,
+                        nonnormality=nonnorm)
+    single = np.dtype(cfg.dtype).itemsize <= (8 if cplx else 4)
+    import warnings
+    if not passed:
+        warnings.warn(
+            "f64 validation: converged pairs do not meet the requested "
+            f"tolerance under a float64 operator (max relative residual "
+            f"{float(np.max(rel)):.3e} > tol {tol_bar:.1e}); the f32 "
+            "matvec's backward error placed them in the operator's "
+            "eps_f32-pseudospectrum — re-solve with an f64 operator "
+            "(docs/PERF.md round-4)", PseudospectrumWarning, stacklevel=4)
+    elif single and not (nonnorm != nonnorm) and nonnorm > 1e-6:
+        warnings.warn(
+            "operator is non-normal (probe "
+            f"{nonnorm:.2e}) and was solved in single precision: "
+            "residual-converged Ritz values may lie up to ~eta*||A|| "
+            "OUTSIDE the spectrum (eps_f32-pseudospectrum; max f64 "
+            f"relative residual {float(np.max(rel)):.3e}).  Interpret "
+            "f32 results as pseudospectral or re-solve with an f64 "
+            "operator (docs/PERF.md round-4)",
+            PseudospectrumWarning, stacklevel=4)
+    return rep
+
+
 class ArpackError(RuntimeError):
     """Solver error with the reference's info-code catalog
     (SRC/dsaupd.f:247-276)."""
@@ -260,8 +359,20 @@ def eigs(
     cgs_kernel: str = "auto",
     reorth: str = "auto",
     select=None,
+    validate=None,
 ):
     """Non-symmetric / complex eigensolver (dnaupd/dneupd, znaupd/zneupd).
+
+    ``validate='f64'``: re-apply the converged pairs through a float64
+    operator, attach an :class:`F64Validation` report to the result
+    (``return_stats``), and emit a :class:`PseudospectrumWarning` when
+    the pairs miss the requested tolerance at f64 fidelity or the
+    operator is detectably non-normal in a single-precision solve — the
+    productized form of the docs/PERF.md round-4 finding that f32
+    residual-converged values of non-normal operators can sit
+    ~eta*||A|| outside the spectrum.  Requires a concrete matrix input
+    (dense / scipy sparse); for matrix-free problems pass a callable
+    ``validate=matvec64`` evaluating ``A @ v`` in float64.
 
     ``select``: length-ncv boolean mask — the documented dneupd/zneupd
     ``howmny='S'`` semantics (SRC/dneupd.f:60-66; the reference returns
@@ -326,10 +437,27 @@ def eigs(
     res = solver.solve(v0=v0)
     if res.info < 0:
         raise ArpackError(res.info)
-    out = extract(op, cfg, res, rvec=return_eigenvectors or return_schur,
+    out = extract(op, cfg, res, rvec=return_eigenvectors or return_schur
+                  or validate is not None,
                   howmny="P" if return_schur
                   else ("S" if select is not None else "A"),
                   select=select)
+    if validate is not None and not return_schur:
+        if callable(validate):
+            out.validation = _f64_validate(None, None, out, cfg,
+                                           matvec64=validate)
+        elif validate == "f64":
+            if isinstance(A, Operator):
+                raise ValueError(
+                    "validate='f64' needs a concrete matrix input; for "
+                    "a matrix-free Operator pass validate=<f64 matvec "
+                    "callable> instead")
+            out.validation = _f64_validate(A, M, out, cfg)
+        else:
+            raise ValueError("validate must be None, 'f64', or a "
+                             "float64 matvec callable")
+        if not return_eigenvectors:
+            out.vectors = None
     if res.info in (1, 2) and select is None and out.nconv < cfg.nev:
         raise ArpackNoConvergence(out, cfg)
     if return_eigenvectors or return_schur:

@@ -170,9 +170,13 @@ def rotate_basis_kev(Q, V, kev, acc_dtype, need_next: bool = True,
     nb = max(1, -(-ncv // _ROT_BUCKET))
     rows_list = [min((b + 1) * _ROT_BUCKET, ncv) for b in range(nb)]
 
+    # Debug escape hatch, read at BUILD time (this function runs during
+    # solver-construction tracing): set ARPACK_TPU_NO_PALLAS_ROT before
+    # constructing the solver — flipping it later has no effect on
+    # already-built (cached) solvers.
     import os
     if os.environ.get("ARPACK_TPU_NO_PALLAS_ROT"):
-        pallas_ok = False            # debug escape hatch
+        pallas_ok = False
     on_tpu = jax.default_backend() == "tpu"
     use_pl = (pallas_ok and on_tpu
               # under jax_enable_x64 the kernel's grid/index scalars
@@ -345,6 +349,12 @@ def make_extend(op: Operator, cfg: IRAMConfig):
     sdt = jnp.dtype(cfg.storage_dtype) if cfg.storage_dtype is not None \
         else dtype
     mixed = sdt != dtype
+    # Debug escape hatches, read ONCE at build time: these must be set
+    # before solver construction; flipping them afterwards is a no-op
+    # for already-built (jit-cached) solvers.
+    import os as _os
+    _force_full_reorth = bool(_os.environ.get("ARPACK_TPU_FULL_REORTH"))
+    _no_pallas_sel = bool(_os.environ.get("ARPACK_TPU_NO_PALLAS_SEL"))
     if mixed and _dt.is_complex(dtype):
         raise ValueError("storage_dtype is supported for real dtypes only")
     rdt = _dt.real_dtype(dtype)
@@ -763,8 +773,20 @@ def make_extend(op: Operator, cfg: IRAMConfig):
     # representation error when narrow storage is on.  Validated by the
     # basis-defect property test and TPU value checks (docs/PERF.md
     # round-4).
-    eps_eff = float(8.0 * np.log2(max(float(n), 2.0)) * _dt.eps(dtype)
-                    + _dt.eps(sdt))
+    # The pairwise model assumes XLA lowers the CGS inner products as
+    # tree/pairwise reductions (measured true on CPU and this TPU;
+    # guarded by the basis-defect property test, tests/test_reorth.py).
+    # A backend that accumulates sequentially would need the classical
+    # sqrt(n)*eps bound back: ARPACK_TPU_OMEGA_NOISE_MODEL=sequential
+    # restores it without a code change (build-time knob, like the
+    # other hatches above).
+    if _os.environ.get("ARPACK_TPU_OMEGA_NOISE_MODEL", "pairwise") \
+            == "sequential":
+        eps_eff = float(np.sqrt(max(float(n), 2.0)) * _dt.eps(dtype)
+                        + _dt.eps(sdt))
+    else:
+        eps_eff = float(8.0 * np.log2(max(float(n), 2.0)) * _dt.eps(dtype)
+                        + _dt.eps(sdt))
     tau = jnp.asarray(np.sqrt(eps_eff) / _dt.SELECTIVE_SAFETY, rdt)
     eps1 = jnp.asarray(eps_eff, rdt)
     # eta-subset selection for reorth EVENTS (Larsen/PROPACK): when the
@@ -883,9 +905,7 @@ def make_extend(op: Operator, cfg: IRAMConfig):
                         return r2, reset, jnp.int32(K)
                     return f
 
-                import os as _os
-                if (_nbuckets == 1
-                        or _os.environ.get("ARPACK_TPU_FULL_REORTH")):
+                if _nbuckets == 1 or _force_full_reorth:
                     return mk(ncv)(None)   # debug hatch: all rows
                 bket = jnp.minimum(
                     jnp.maximum(cnt - 1, 0) // _BUCKET, _nbuckets - 1)

@@ -206,7 +206,19 @@ def eigsh_block(op_or_a, k: int = 6, *, block_size: int = 2,
                 maxiter: int = 200, dtype=None, seed: int = 0):
     """Largest-algebraic eigenpairs by thick-restart block Lanczos
     (experimental; which='LA' only).  Returns (vals ascending, vecs,
-    info dict with matvec count)."""
+    info dict with matvec count).
+
+    .. note:: **When to use blocks** (measured A/B, docs/PERF.md
+       round-4): on this hardware the scalar selective path
+       (:func:`arpack_ng_tpu.eigsh`) is 7-17x FASTER end-to-end on
+       every tested operator class — the current (b, n) block layout
+       puts b on sublanes, so the block matvec runs at 1/8 sublane
+       occupancy, a hole the operator-byte amortization cannot climb
+       out of (the recorded fix is a lane-major b-in-lanes layout).
+       Use ``eigsh_block`` only where it is the only tool: degenerate
+       clusters of multiplicity > 1 (choose ``block_size >=`` the
+       multiplicity), which converge in one sweep while scalar Lanczos
+       provably cannot separate the copies (tests/test_block.py)."""
     from ..api import _as_operator
     op = (op_or_a if isinstance(op_or_a, Operator)
           else _as_operator(op_or_a, dtype=dtype, hermitian=True))

@@ -48,6 +48,8 @@ class EigenResult:
     bounds: np.ndarray            # Ritz estimates in the original system
     n_iter: int
     stats: object
+    validation: object = None     # optional f64 back-substitution report
+    #   (api._F64Validation) attached by eigs(..., validate='f64')
 
 
 def _untransform(theta: np.ndarray, mode: int, sigma: complex,

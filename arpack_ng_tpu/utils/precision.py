@@ -35,6 +35,22 @@ import jax
 #: the ghost-Ritz failure — never use it.
 LEVEL = os.environ.get("ARPACK_TPU_MATMUL_PRECISION", "highest")
 
+#: accepted overrides.  'default' (and typos) silently reinstate the
+#: ghost-Ritz failure mode, so anything outside this set is rejected at
+#: import — a measurement override left in the environment must not be
+#: able to corrupt a production solve without a trace.
+_VALID_LEVELS = ("high", "highest")
+if LEVEL not in _VALID_LEVELS:
+    import warnings
+
+    warnings.warn(
+        f"ARPACK_TPU_MATMUL_PRECISION={LEVEL!r} is not in "
+        f"{_VALID_LEVELS}: the DEFAULT f32 matmul precision on TPU "
+        "truncates MXU inputs toward bf16 and produces ghost Ritz "
+        "values (docs/PERF.md round-4); falling back to 'highest'.",
+        RuntimeWarning, stacklevel=2)
+    LEVEL = "highest"
+
 
 def hiprec(fn):
     """Wrap a (traceable) callable so its body traces under

@@ -173,8 +173,12 @@ atpu_int run_solve(char dtype, int symmetric, int schur, atpu_int n,
       // inject the select mask (howmny='S', ICB/arpack.hpp:44-48): a
       // compact '0'/'1' string, positional over the final
       // factorization's Ritz values
-      opts_s.pop_back();  // strip the closing '}'
-      opts_s += ",\"select\":\"" + g_select + "\"}";
+      size_t close = opts_s.find_last_of('}');
+      if (close != std::string::npos) {
+        opts_s.erase(close);  // strip the closing '}' (robust to any
+                              // trailing bytes, unlike pop_back)
+        opts_s += ",\"select\":\"" + g_select + "\"}";
+      }
       g_select.clear();
     }
 

