@@ -91,22 +91,14 @@ def _resolve_sym_reorth(reorth: str, restart: str) -> str:
     Symmetric problems run Lanczos, where semi-orthogonality provably
     preserves eps-level Ritz accuracy (Simon 1984) — partial
     reorthogonalization ('selective') is the default and removes the
-    dominant V-traffic term (docs/PERF.md round-2).  Under
-    ``restart='thick'`` the arrowhead H breaks the three-term omega
-    recurrence and 'selective' degenerates to a full reorthogonalization
-    every step (measured 2.8x slower at n=1M, docs/PERF.md round-3):
-    'auto' resolves to 'dgks' there, and an explicit 'selective'+thick
-    combination gets a one-line warning."""
+    dominant V-traffic term (docs/PERF.md round-2).  Since round 5 this
+    holds for ``restart='thick'`` too: the fused tail re-tridiagonalizes
+    the kept block (core/device_sym._retridiagonalize), so the
+    three-term omega recurrence stays valid across thick restarts (the
+    round-3 "thick degenerates to full reorth" measurement predates the
+    re-tridiagonalization)."""
     if reorth == "auto":
-        return "dgks" if restart == "thick" else "selective"
-    if reorth == "selective" and restart == "thick":
-        import warnings
-        warnings.warn(
-            "restart='thick' breaks the omega recurrence: "
-            "reorth='selective' degenerates to full reorthogonalization "
-            "every step (measured 2.8x slower at n=1M, docs/PERF.md "
-            "round-3); prefer reorth='dgks' or restart='implicit'",
-            stacklevel=3)
+        return "selective"
     return reorth
 
 

@@ -86,6 +86,21 @@ class IRAMConfig:
     #                 Semi-orthogonality preserves eps-level Ritz accuracy
     #                 for Lanczos (Simon 1984); the acceptance test inside
     #                 the refinement loop keeps the reference's 0.717 rule.
+    pair_rule: str = "always"   # forced follow-up reorthogonalization
+    #   after a selective-reorth event (PROPACK's pairing: both carriers
+    #   of the three-term recurrence must be clean before omega growth
+    #   can restart from the eps floor):
+    #   'always' — every triggered event forces a full follow-up event on
+    #              the next step (the classical rule).
+    #   'clean'  — suppress the follow-up when both carriers are already
+    #              clean: the eta-subset selection left every untouched
+    #              row of omega_{j+1} below eta_sub (true by
+    #              construction) AND the previous carrier v_j's omega row
+    #              is below eta_sub everywhere — then the -beta_j*w_{j,i}
+    #              feedback term cannot re-inject a super-eta defect and
+    #              the paired event buys nothing (round-4 verdict #6 A/B;
+    #              value-checked by tests/test_reorth.py basis-defect
+    #              property test).
     cgs_kernel: str = "auto"    # orthogonalization-pass backend:
     #   'auto'/'xla' (bucketed masked contractions — the measured
     #   end-to-end winner, docs/PERF.md), or 'pallas' (explicit opt-in:
@@ -132,6 +147,8 @@ class IRAMConfig:
             raise ValueError("cgs_kernel must be 'auto', 'xla' or 'pallas'")
         if self.reorth not in ("dgks", "selective"):
             raise ValueError("reorth must be 'dgks' or 'selective'")
+        if self.pair_rule not in ("always", "clean"):
+            raise ValueError("pair_rule must be 'always' or 'clean'")
         if self.restart not in ("implicit", "thick"):
             raise ValueError("restart must be 'implicit' or 'thick'")
         if self.n_pad == 0:

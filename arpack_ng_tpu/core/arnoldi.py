@@ -179,11 +179,11 @@ def rotate_basis_kev(Q, V, kev, acc_dtype, need_next: bool = True,
         pallas_ok = False
     on_tpu = jax.default_backend() == "tpu"
     use_pl = (pallas_ok and on_tpu
-              # under jax_enable_x64 the kernel's grid/index scalars
-              # become i64, which Mosaic refuses to legalize (observed:
-              # "failed to legalize operation 'func.return'" on the f32
-              # kernel in an x64 process) — full rotation there
-              and not jax.config.jax_enable_x64
+              # x64 processes are fine since round 5: the kernel's
+              # index-map scalars are pinned to i32 (pallas_rot._i32;
+              # i64 index scalars were the Mosaic "failed to legalize
+              # 'func.return'" failure that gated this off in round 4 —
+              # fix verified value-correct on-TPU under jax_enable_x64)
               and V.ndim == 3 and V.shape[2] == 128
               and V.shape[1] % 8 == 0
               and jnp.dtype(V.dtype) in (jnp.dtype(jnp.float32),
@@ -336,13 +336,18 @@ def make_init(op: Operator, cfg: IRAMConfig, v3d: Optional[bool] = None):
     return hiprec(init)
 
 
-def make_extend(op: Operator, cfg: IRAMConfig):
+def make_extend(op: Operator, cfg: IRAMConfig, pallas_sel_ok: bool = False):
     """Build the jittable factorization extension
     ``extend(state, k_start, k_end)``: dsaitr/dnaitr equivalent.
 
     Extends a ``k_start``-step factorization to ``k_end`` steps.  Both bounds
     may be traced (the restart loop calls with dynamic nev due to the
     stagnation guard of SRC/dsaup2.f:678-684).
+
+    ``pallas_sel_ok``: allow the scalar-prefetch Pallas event kernels
+    (ops/pallas_sel.py) for the eta-subset reorthogonalization on TPU —
+    callers must pass False for mesh-sharded solves (pallas_call has no
+    GSPMD rule), mirroring ``rotate_basis_kev(pallas_ok=...)``.
     """
     ncv, n_pad, n = cfg.ncv, cfg.n_pad, cfg.n
     dtype = jnp.dtype(cfg.dtype)
@@ -373,8 +378,13 @@ def make_extend(op: Operator, cfg: IRAMConfig):
     # recomputed fresh each step exactly like dsaitr's ORTH1 B*r request
     # (SRC/dsaitr.f:570-583 B-variant), so the per-step saving is the two
     # V passes, not the B apply.
+    # restart='thick' keeps the omega model valid since round 5: the
+    # fused tail re-tridiagonalizes the kept block (device_sym
+    # _retridiagonalize), so there is no arrowhead and the three-term
+    # recurrence resumes exactly (the round-3 thick-degenerates-to-full
+    # measurement predates this).
     use_pro = (cfg.reorth == "selective" and cfg.symmetric
-               and cfg.restart == "implicit")
+               and cfg.restart in ("implicit", "thick"))
     tiny = jnp.asarray(_dt.safmin(dtype), rdt)
     col_idx = jnp.arange(ncv)
 
@@ -805,6 +815,26 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             float(np.sqrt(eps_eff) / _dt.SELECTIVE_SAFETY) / 2.0), rdt)
     neg_inf = jnp.asarray(-jnp.inf, rdt)
 
+    # ---- scalar-prefetch Pallas event kernels (round 5) ----------------
+    # The XLA lowering of a subset event (jnp.take -> proj -> update)
+    # carries a measured ~150 us FIXED gather-materialization cost per
+    # event (benchmarks/bench_sel_gather.py, docs/PERF.md round-4); the
+    # PrefetchScalarGridSpec kernels stream the K indexed rows straight
+    # from the basis instead.  Gated like the rotation kernel: TPU,
+    # unsharded, 3-D real f32-compute basis (f32/bf16 storage); index
+    # scalars are i32-pinned so x64 processes keep the kernel.
+    use_sel_pl = (pallas_sel_ok and use_pro
+                  and jax.default_backend() == "tpu"
+                  and not _no_pallas_sel
+                  and not _dt.is_complex(dtype)
+                  and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+                  and jnp.dtype(sdt) in (jnp.dtype(jnp.float32),
+                                         jnp.dtype(jnp.bfloat16))
+                  and n_pad % 128 == 0
+                  and cfg.cgs_kernel != "pallas")  # 2-D layout opt-out
+    # fused ||r'||^2 epilogue: standard problems with plain norms only
+    fuse_sel_norm = use_sel_pl and not is_g and not cfg.safe_norms
+
     def _omega_update(a, b, wp, wc, j, wnorm, beta_j):
         """One row of Simon's omega recurrence (signed terms, abs at the
         end, additive noise eps1*wnorm):  beta_j * w_{j+1,i} =
@@ -888,12 +918,45 @@ def make_extend(op: Operator, cfg: IRAMConfig):
                 (Larsen/PROPACK): rows with omega above eps^(3/4),
                 bucketed to K by the same lax.switch trick; below-
                 threshold rows padded into the top-K gather are cleaned
-                too (harmless), stale rows (col > j) are masked out."""
+                too (harmless), stale rows (col > j) are masked out.
+
+                Returns ``(r2, reset, rows, rn2)``; ``rn2`` is the fused
+                ||r2||^2 when the Pallas event kernels carry it
+                (``fuse_sel_norm``), else 0."""
                 sel_key = jnp.where(col_idx <= j, wn, neg_inf)
                 order = jnp.argsort(-sel_key)
                 cnt = jnp.sum(sel_key > eta_sub).astype(jnp.int32)
+                upl = use_sel_pl and V.ndim == 3
+                zero_n = jnp.zeros((), rdt)
 
                 def mk(K):
+                    if upl:
+                        from ..ops import pallas_sel as _plsel
+                        _sn = str(jnp.dtype(sdt))
+                        _cn = str(jnp.dtype(dtype))
+                        pk = _plsel.make_sel_proj(K, ncv, n_pad // 128,
+                                                  _sn, _cn)
+                        uk = _plsel.make_sel_update(
+                            K, ncv, n_pad // 128, _sn, _cn,
+                            with_norm=fuse_sel_norm)
+
+                        def f(_):
+                            idx = order[:K].astype(jnp.int32)
+                            valid = jnp.take(sel_key, idx) > neg_inf
+                            s_k = pk(idx, V, br)
+                            s_k = jnp.where(valid, s_k,
+                                            jnp.zeros((), dtype))
+                            if fuse_sel_norm:
+                                r2, rn2 = uk(idx, s_k, r, V)
+                                rn2 = rn2.astype(rdt)
+                            else:
+                                r2 = uk(idx, s_k, r, V)
+                                rn2 = zero_n
+                            reset = jnp.zeros((ncv,), bool).at[idx].set(
+                                valid)
+                            return r2, reset, jnp.int32(K), rn2
+                        return f
+
                     def f(_):
                         idx = order[:K]
                         valid = jnp.take(sel_key, idx) > neg_inf
@@ -902,7 +965,7 @@ def make_extend(op: Operator, cfg: IRAMConfig):
                         s_k = jnp.where(valid, s_k, jnp.zeros((), dtype))
                         r2 = r - _comb(s_k, Vg)
                         reset = jnp.zeros((ncv,), bool).at[idx].set(valid)
-                        return r2, reset, jnp.int32(K)
+                        return r2, reset, jnp.int32(K), zero_n
                     return f
 
                 if _nbuckets == 1 or _force_full_reorth:
@@ -914,9 +977,13 @@ def make_extend(op: Operator, cfg: IRAMConfig):
 
             def run_reorth(args):
                 r, br, rn_prev = args
-                r1, reset, K = subset_pass(r, br)
-                br1 = b_apply(r1)
-                rn1 = bnorm(r1, br1).astype(rdt)
+                r1, reset, K, rn2 = subset_pass(r, br)
+                if fuse_sel_norm:
+                    br1 = r1
+                    rn1 = jnp.sqrt(rn2).astype(rdt)
+                else:
+                    br1 = b_apply(r1)
+                    rn1 = bnorm(r1, br1).astype(rdt)
                 accept1 = rn1 > eta * rn_prev
 
                 def full_fallback(a):
@@ -964,8 +1031,22 @@ def make_extend(op: Operator, cfg: IRAMConfig):
             # omega growth can restart from the eps floor) unless this
             # event WAS the forced follow-up
             wn = jnp.where(reset, jnp.full((ncv,), eps1, rdt), wn)
-            force_out = jnp.where(need & (force == 0), jnp.int32(1),
-                                  jnp.int32(0))
+            if cfg.pair_rule == "clean":
+                # clean-carrier suppression (round-4 verdict #6): the
+                # eta-subset selection leaves every untouched row of
+                # omega_{j+1} below eta_sub by construction; the only
+                # super-eta feedback path into omega_{j+2} is the
+                # -beta_j*w_{j,i} term carrying the PREVIOUS carrier
+                # v_j's defect.  When that row is also below eta_sub
+                # everywhere, the forced follow-up cannot be needed.
+                carrier_dirty = jnp.max(
+                    jnp.where(col_idx < j, wc, jnp.zeros((), rdt))
+                ) > eta_sub
+                force_out = jnp.where(need & (force == 0) & carrier_dirty,
+                                      jnp.int32(1), jnp.int32(0))
+            else:
+                force_out = jnp.where(need & (force == 0), jnp.int32(1),
+                                      jnp.int32(0))
             st = st._replace(V=V, H=H, resid=r, b_resid=br, rnorm=rnorm,
                              k=j + 1, counts=counts)
             return st, wc, wn, force_out

@@ -97,7 +97,8 @@ class HeadOut(NamedTuple):
     np_eff: jax.Array    # int32 = ncv - nev_eff
 
 
-def make_sym_head(op: Operator, cfg: IRAMConfig, inflate: bool = True):
+def make_sym_head(op: Operator, cfg: IRAMConfig, inflate: bool = True,
+                  pallas_sel_ok: bool = False):
     """Build the jitted cycle head: ``head(state) -> HeadOut``.
 
     Covers dsaup2's extension through shift-count fixing: dsaitr
@@ -118,7 +119,7 @@ def make_sym_head(op: Operator, cfg: IRAMConfig, inflate: bool = True):
     rdt = _dt.real_dtype(cfg.dtype)
     tol = jnp.asarray(cfg.tol_effective, rdt)
     eps23 = jnp.asarray(cfg.eps23, rdt)
-    extend = make_extend(op, cfg)
+    extend = make_extend(op, cfg, pallas_sel_ok=pallas_sel_ok)
     iota = jnp.arange(ncv)
     be_arrange = _make_be_arrange(ncv) if cfg.which == "BE" else None
 
@@ -318,31 +319,123 @@ def make_sym_tail(op: Operator, cfg: IRAMConfig, user_shifts: bool = False,
                               nev_cur=nev_eff, iter=state.iter + 1,
                               counts=counts)
 
+    def _retridiagonalize(theta, c, kk):
+        """Orthogonal ``P`` with ``P^T diag(theta) P`` tridiagonal and
+        ``c^T P = ||c|| e_{kk-1}^T`` — the Krylov-Schur-to-Lanczos
+        conversion that removes the thick restart's arrowhead so the
+        three-term recurrence (and with it the selective-reorth omega
+        model, docs/PERF.md round-3) stays valid.
+
+        Method: ``kk`` steps of Lanczos on the DIAGONAL matrix theta
+        with start vector c/||c|| and full (two-pass) reorthogonalization
+        — the classic Jacobi-inverse-eigenvalue construction; every step
+        is (ncv,)-vector VPU work plus two (ncv, ncv) matmuls, far
+        lighter than one ``jnp.linalg.qr`` of the shift chase.  Exact
+        breakdowns (c orthogonal to an invariant subspace — e.g. a kept
+        Ritz vector with zero coupling) splice in the least-represented
+        coordinate with a TRUE zero coupling beta, which just splits the
+        tridiagonal (legitimate Lanczos deflation).  The forward
+        construction couples the start vector to column 0; reversing the
+        active window puts the coupling on the LAST kept vector, where
+        the resumed recurrence expects it.
+
+        Returns ``(P, a_rev, b_rev)`` — only the leading ``kk`` columns
+        / entries are meaningful.
+        """
+        m = iota < kk
+        thet = jnp.where(m, theta, jnp.zeros((), rdt))
+        cnorm = jnp.sqrt(jnp.sum(jnp.where(m, c * c, 0.0)))
+        tiny = jnp.asarray(_dt.safmin(rdt), rdt)
+        q1 = jnp.where(m, c, 0.0) / jnp.maximum(cnorm, tiny)
+        scale = jnp.max(jnp.abs(thet))
+        brk = 8 * ncv * eps_m * jnp.maximum(scale, tiny)
+
+        def step(i, carry):
+            Q, a, b, q_cur, q_prev, beta_prev = carry
+            Q = Q.at[:, i].set(q_cur)
+            w = thet * q_cur
+            alpha = jnp.sum(q_cur * w)
+            w = w - alpha * q_cur - beta_prev * q_prev
+
+            def reorth(w):
+                s = jnp.where(iota <= i, Q.T @ w, 0.0)
+                return w - Q @ s
+
+            w = reorth(reorth(w))
+            beta = jnp.sqrt(jnp.sum(w * w))
+
+            def breakdown(_):
+                # least-represented active coordinate, orthogonalized
+                rowsq = jnp.sum(jnp.where(iota[None, :] <= i,
+                                          Q * Q, 0.0), axis=1)
+                t = jnp.argmax(jnp.where(m, 1.0 - rowsq, -jnp.inf))
+                e = jnp.zeros((ncv,), rdt).at[t].set(1.0)
+                w2 = reorth(reorth(e))
+                nw = jnp.sqrt(jnp.sum(w2 * w2))
+                return w2 / jnp.maximum(nw, tiny), jnp.zeros((), rdt)
+
+            def ok(_):
+                return w / jnp.maximum(beta, tiny), beta
+
+            q_next, beta_out = lax.cond(beta <= brk, breakdown, ok, None)
+            a = a.at[i].set(alpha)
+            b = b.at[i].set(beta_out)
+            return (Q, a, b, q_next, q_cur, beta_out)
+
+        Q0 = jnp.zeros((ncv, ncv), rdt)
+        z = jnp.zeros((ncv,), rdt)
+        Q, a, b, _, _, _ = lax.fori_loop(
+            0, ncv, lambda i, cr: lax.cond(i < kk, lambda c_: step(i, c_),
+                                           lambda c_: c_, cr),
+            (Q0, z, z, q1, z, jnp.zeros((), rdt)))
+        # reverse the active window: j <- kk-1-j
+        rev = jnp.where(m, jnp.maximum(kk - 1 - iota, 0), iota)
+        P = jnp.where(m[None, :], Q[:, rev], 0.0)
+        a_rev = jnp.where(m, a[rev], 0.0)
+        b_src = jnp.maximum(kk - 2 - iota, 0)
+        b_rev = jnp.where(iota < kk - 1, b[b_src], 0.0)
+        return P, a_rev, b_rev, cnorm
+
     def thick_restart(args):
-        """Krylov-Schur-class restart: keep the wanted nev_eff Ritz
-        vectors directly (V <- S_kept^T V), H <- diag(theta_kept),
-        resid/rnorm UNCHANGED — the residual couples to every kept
-        vector through the arrow entries, which the next extension
-        step's CGS projections deliver into H's upper triangle.
-        Mathematically equivalent to the implicit exact-shift chase
-        (Wu & Simon 2000), with no bulge-chase rounding."""
+        """Krylov-Schur-class restart WITH re-tridiagonalization
+        (round-4 verdict #1b): keep the wanted nev_eff Ritz vectors,
+        then rotate them by the ``_retridiagonalize`` P so H returns to
+        tridiagonal form with the residual coupling concentrated on the
+        last kept vector — ``A V' = V' T' + (||c|| r) e_kev^T`` is again
+        a genuine Lanczos factorization.  Mathematically equivalent to
+        the implicit exact-shift chase (Wu & Simon 2000) but replaces
+        the np-shift scan of ``jnp.linalg.qr`` (2-3 ms/cycle of (32,32)
+        op latency, docs/PERF.md round-4) with one ncv-step scan of
+        (ncv,)-vector work, and — unlike the round-1 arrowhead form —
+        keeps the selective-reorth omega recurrence valid."""
         state, T, evals, S, nev_eff, np_eff = args
         # arrange kept (wanted) eigen-indices first: positions
         # p >= np_eff of `order` are the wanted ones; stable argsort
         # of the unwanted flag puts them first in ascending order
         order = jnp.argsort(_which_key(cfg.which, evals))
         src = order[jnp.argsort(iota < np_eff, stable=True)]
-        theta = evals[src]
-        # only the kept nev_eff rows are live after a thick restart
-        # (resid is unchanged; no v_next row is consumed)
-        VQ, _, rots = rotate_basis_kev(S[:, src].astype(rdt), state.V,
-                                       nev_eff, cfg.dtype,
+        theta = evals[src].astype(rdt)
+        # coupling row: c_i = S[ncv-1, kept_i] (A W = W Theta + r c^T
+        # for W = V S_kept, r the current residual of norm rnorm)
+        c = S[ncv - 1, src].astype(rdt)
+        P, a_rev, b_rev, cnorm = _retridiagonalize(theta, c, nev_eff)
+        # combined rotation (S_kept P)^T V in one kev-row pass
+        Sk = jnp.where((iota < nev_eff)[None, :], S[:, src].astype(rdt),
+                       0.0)
+        R = Sk @ P
+        VQ, _, rots = rotate_basis_kev(R, state.V, nev_eff, cfg.dtype,
                                        need_next=False,
                                        pallas_ok=pallas_rot_ok)
-        H_new = jnp.diag(jnp.where(iota < nev_eff, theta,
-                                   jnp.zeros((), rdt))
-                         ).astype(cfg.dtype)
-        return state._replace(V=VQ, H=H_new, k=nev_eff,
+        H_new = (jnp.diag(a_rev) + jnp.diag(b_rev[:-1], 1)
+                 + jnp.diag(b_rev[:-1], -1)).astype(cfg.dtype)
+        # residual direction unchanged; its effective length scales by
+        # ||c|| (beta_kev = cnorm * rnorm)
+        resid = state.resid * cnorm.astype(cfg.dtype)
+        b_resid = state.b_resid * cnorm.astype(cfg.dtype) if is_g \
+            else resid
+        rnorm = (state.rnorm * cnorm).astype(_dt.real_dtype(cfg.dtype))
+        return state._replace(V=VQ, H=H_new, resid=resid,
+                              b_resid=b_resid, rnorm=rnorm, k=nev_eff,
                               nev_cur=nev_eff, iter=state.iter + 1,
                               counts=state.counts.add(nrotr=rots))
 
@@ -373,10 +466,11 @@ def make_sym_tail(op: Operator, cfg: IRAMConfig, user_shifts: bool = False,
 
 
 def make_sym_cycle(op: Operator, cfg: IRAMConfig,
-                   pallas_rot_ok: bool = False):
+                   pallas_rot_ok: bool = False,
+                   pallas_sel_ok: bool = False):
     """Build the jitted fused cycle: (state, is_last) -> CycleOut —
     head and exact-shift tail composed into one traced computation."""
-    head = make_sym_head(op, cfg)
+    head = make_sym_head(op, cfg, pallas_sel_ok=pallas_sel_ok)
     tail = make_sym_tail(op, cfg, pallas_rot_ok=pallas_rot_ok)
 
     def cycle(state: FactorizationState, is_last) -> CycleOut:
@@ -386,7 +480,8 @@ def make_sym_cycle(op: Operator, cfg: IRAMConfig,
 
 
 def make_sym_multi_cycle(op: Operator, cfg: IRAMConfig,
-                         pallas_rot_ok: bool = False):
+                         pallas_rot_ok: bool = False,
+                         pallas_sel_ok: bool = False):
     """Run up to ``n_cycles`` restart cycles in ONE device dispatch: a
     ``lax.while_loop`` over the fused cycle that exits as soon as the
     convergence test fires.  The whole dsaup2 restart loop thus executes
@@ -394,7 +489,8 @@ def make_sym_multi_cycle(op: Operator, cfg: IRAMConfig,
     replacing reverse communication with traced operators (and it
     amortizes per-dispatch latency, which dominates on remote-attached
     TPUs)."""
-    cycle = make_sym_cycle(op, cfg, pallas_rot_ok=pallas_rot_ok)
+    cycle = make_sym_cycle(op, cfg, pallas_rot_ok=pallas_rot_ok,
+                           pallas_sel_ok=pallas_sel_ok)
     ncv = cfg.ncv
     rdt = _dt.real_dtype(cfg.dtype)
 
@@ -456,11 +552,12 @@ class FusedSymSolver:
         # the in-place Pallas restart rotation has no GSPMD rule: only
         # unsharded solves may use it (see rotate_basis_kev)
         prot = mesh is None
-        cycle = None if user else make_sym_cycle(op, cfg,
-                                                 pallas_rot_ok=prot)
-        multi = None if user else make_sym_multi_cycle(op, cfg,
-                                                       pallas_rot_ok=prot)
-        head = make_sym_head(op, cfg, inflate=not user) if user else None
+        cycle = None if user else make_sym_cycle(
+            op, cfg, pallas_rot_ok=prot, pallas_sel_ok=prot)
+        multi = None if user else make_sym_multi_cycle(
+            op, cfg, pallas_rot_ok=prot, pallas_sel_ok=prot)
+        head = make_sym_head(op, cfg, inflate=not user,
+                             pallas_sel_ok=prot) if user else None
         tailu = make_sym_tail(op, cfg, user_shifts=True,
                               pallas_rot_ok=prot) if user else None
         if mesh is None:

@@ -238,6 +238,111 @@ def solve(options: str, buf_a=None, buf_p=None, buf_i=None, buf_v=None,
     return ret
 
 
+def solve_matvec(options: str, fn_addr: int, ctx_addr: int):
+    """Matrix-free eigensolve driven by a C function pointer — the RCI
+    (ido-loop) capability of the reference's C surface
+    (ICB/arpack.h:10-21; the ido contract SRC/dsaupd.f:68-97), exposed as
+    ``atpu_eigsh_matvec_*`` / ``atpu_eigs_matvec_*``.
+
+    ``fn_addr``: address of ``void fn(atpu_int n, const T *x, T *y,
+    void *ctx)`` computing ``y = A @ x``; ``ctx_addr``: opaque user
+    context passed through verbatim.  Real dtypes only ('s'/'d').
+
+    Cost model (documented honesty): every ``OP*x`` crosses
+    device -> host -> C and back through ``jax.pure_callback`` — exactly
+    the reference's reverse-communication data path, and exactly as
+    serializing.  The solve runs on the hybrid driver (host reduced
+    space, the natural host for a host-bound matvec) on the CPU backend
+    by default (the axon TPU relay cannot execute host callbacks at
+    all — docs/PERF.md round-3); set ARPACK_TPU_MATVEC_PLATFORM to
+    override on hardware where callbacks work.  For TPU-speed solves,
+    hand the C side's matrix to the concrete dense/CSR entry points
+    instead.
+    """
+    global _last_stats, _last_sym, _last_complex
+    import ctypes
+    import os
+
+    jax = _ensure_platform()
+    plat = os.environ.get("ARPACK_TPU_MATVEC_PLATFORM", "cpu")
+    try:
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+    opt = json.loads(options)
+    dt = np.dtype(_DTYPES[opt["dtype"]])
+    if np.issubdtype(dt, np.complexfloating):
+        return {"info": -9997, "nconv": 0}   # real dtypes only
+    rdt = np.float32 if dt.itemsize == 4 else np.float64
+    if rdt == np.float64:
+        jax.config.update("jax_enable_x64", True)
+    n = int(opt["n"])
+    sym = bool(opt.get("symmetric", True))
+
+    cscalar = ctypes.c_float if dt.itemsize == 4 else ctypes.c_double
+    cfunc_t = ctypes.CFUNCTYPE(None, ctypes.c_longlong,
+                               ctypes.POINTER(cscalar),
+                               ctypes.POINTER(cscalar), ctypes.c_void_p)
+    cfn = cfunc_t(int(fn_addr))
+    ctx = ctypes.c_void_p(int(ctx_addr) or None)
+
+    from .config import IRAMConfig, default_ncv, pad_dim
+    from .core.extract import extract
+    from .core.iram import IRAMSolver
+    from .ops.operator import from_matvec
+
+    n_pad = pad_dim(n)
+
+    def host_matvec(x):
+        xb = np.ascontiguousarray(np.asarray(x)[:n], dt)
+        y = np.zeros(n, dt)
+        cfn(n, xb.ctypes.data_as(ctypes.POINTER(cscalar)),
+            y.ctypes.data_as(ctypes.POINTER(cscalar)), ctx)
+        out = np.zeros(n_pad, dt)
+        out[:n] = y
+        return out
+
+    def matvec(v):
+        return jax.pure_callback(
+            host_matvec, jax.ShapeDtypeStruct((n_pad,), dt), v,
+            vmap_method="sequential")
+
+    op = from_matvec(matvec, n, dt, n_pad=n_pad, hermitian=sym)
+    k = int(opt["k"])
+    which = opt.get("which", "LM")
+    ncv = int(opt.get("ncv", 0)) or default_ncv(n, k, sym)
+    maxiter = int(opt.get("maxiter", 0)) or max(10 * n, 300)
+    try:
+        cfg = IRAMConfig(n=n, nev=k, ncv=min(ncv, n), which=which,
+                         tol=float(opt.get("tol", 0.0)),
+                         max_iter=maxiter, symmetric=sym, dtype=dt,
+                         n_pad=n_pad, seed=int(opt.get("seed", 0)))
+    except ValueError as e:
+        import re
+        m = re.search(r"info\s*=\s*(-\d+)", str(e))
+        return {"info": int(m.group(1)) if m else -9999, "nconv": 0}
+    res = IRAMSolver(op, cfg).solve()
+    _last_stats = res.stats
+    _last_sym = sym
+    _last_complex = False
+    if res.info < 0:
+        return {"info": int(res.info), "nconv": 0}
+    rvec = bool(opt.get("rvec", True))
+    out = extract(op, cfg, res, rvec=rvec, howmny="A")
+    vals = np.atleast_1d(np.asarray(out.values))
+    ret = {
+        "info": int(out.info), "nconv": int(out.nconv),
+        "vals_re": np.ascontiguousarray(vals.real, rdt).tobytes(),
+        "vals_im": np.ascontiguousarray(np.imag(vals), rdt).tobytes(),
+    }
+    if rvec and out.vectors is not None:
+        z = np.asarray(out.vectors)
+        ret["vecs_re"] = np.ascontiguousarray(z.real.T, rdt).tobytes()
+        ret["vecs_im"] = np.ascontiguousarray(np.imag(z).T, rdt).tobytes()
+    return ret
+
+
 def mm_query(path: str):
     """Matrix-market probe (arpackSolver createMatrix phase 1,
     arpackSolver.hpp:176-215): [n_rows, n_cols, nnz, is_complex].

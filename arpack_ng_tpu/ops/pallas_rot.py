@@ -31,6 +31,15 @@ LANE = 128
 DEFAULT_PANELS = 8
 
 
+def _i32(*vals):
+    """Index-map components pinned to int32: under ``jax_enable_x64``
+    weak-typed index scalars become i64, which Mosaic refuses to
+    legalize ("failed to legalize operation 'func.return'" — measured
+    round 4, fixed round 5; the cast makes the same kernel compile and
+    validate on-TPU in an x64 process)."""
+    return tuple(jnp.int32(v) for v in vals)
+
+
 @functools.lru_cache(maxsize=None)
 def make_rotate(ncv: int, npan: int, v_dtype: str, acc_dtype: str,
                 panels: int = DEFAULT_PANELS, interpret: bool = False):
@@ -62,9 +71,9 @@ def make_rotate(ncv: int, npan: int, v_dtype: str, acc_dtype: str,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((ncv, ncv), lambda i: (0, 0)),
-                  pl.BlockSpec((ncv, P, LANE), lambda i: (0, i, 0))],
-        out_specs=pl.BlockSpec((ncv, P, LANE), lambda i: (0, i, 0)),
+        in_specs=[pl.BlockSpec((ncv, ncv), lambda i: _i32(0, 0)),
+                  pl.BlockSpec((ncv, P, LANE), lambda i: _i32(0, i, 0))],
+        out_specs=pl.BlockSpec((ncv, P, LANE), lambda i: _i32(0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((ncv, npan, LANE), vdt),
         interpret=interpret,
     )
@@ -112,9 +121,9 @@ def make_rotate_rows(ncv: int, rows: int, npan: int, v_dtype: str,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((ncv, rows), lambda i: (0, 0)),
-                  pl.BlockSpec((ncv, P, LANE), lambda i: (0, i, 0))],
-        out_specs=pl.BlockSpec((rows, P, LANE), lambda i: (0, i, 0)),
+        in_specs=[pl.BlockSpec((ncv, rows), lambda i: _i32(0, 0)),
+                  pl.BlockSpec((ncv, P, LANE), lambda i: _i32(0, i, 0))],
+        out_specs=pl.BlockSpec((rows, P, LANE), lambda i: _i32(0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((ncv, npan, LANE), vdt),
         input_output_aliases={1: 0},
         interpret=interpret,

@@ -90,6 +90,40 @@ def main():
 
         timeit(f"dyn-index-{K} pass pair", dyn_pass, rows=K)
 
+    # ---- round 5: scalar-prefetch Pallas event kernels ------------------
+    # (ops/pallas_sel.py): stream the K indexed rows straight from the
+    # basis via PrefetchScalarGridSpec index maps — no materialization.
+    from arpack_ng_tpu.ops import pallas_sel
+    interp = jax.default_backend() != "tpu"
+    for K in (4, 8, 16):
+        idx = jnp.asarray(np.sort(rng.choice(ncv, K, replace=False))
+                          .astype(np.int32))
+        proj = pallas_sel.make_sel_proj(K, ncv, npan, "float32", "float32",
+                                        interpret=interp)
+        updn = pallas_sel.make_sel_update(K, ncv, npan, "float32",
+                                          "float32", with_norm=True,
+                                          interpret=interp)
+
+        def pl_pass(r, idx=idx, proj=proj, updn=updn):
+            s = proj(idx, V, r.reshape(-1))
+            r2, _ = updn(idx, s, r.reshape(-1), V)
+            return r2.reshape(npan, 128)
+
+        # value check vs the take path (the repo rule: VALUE-check every
+        # new TPU path)
+        def take_ref(r, idx=idx):
+            Vg = jnp.take(V, idx, axis=0)
+            s = lax.dot_general(Vg, r, (((1, 2), (0, 1)), ((), ())))
+            return r - lax.dot_general(s, Vg, (((0,), (0,)), ((), ())))
+
+        with jax.default_matmul_precision("highest"):
+            a = np.asarray(jax.device_get(jax.jit(pl_pass)(r0)))
+            b = np.asarray(jax.device_get(jax.jit(take_ref)(r0)))
+        verr = np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-30)
+        tag = "OK" if verr < 1e-5 else "MISMATCH"
+        timeit(f"pallas-sel-{K} pass pair [{tag} {verr:.1e}]", pl_pass,
+               rows=K)
+
     print(f"(full pair baseline {t_full*1e6:.0f} us; "
           f"platform={jax.devices()[0].platform})")
 

@@ -13,6 +13,6 @@ PYLD=$(python3-config --ldflags --embed)
 g++ -O2 -shared -fPIC -std=c++17 -DATPU_INTERFACE64=0 -Iinclude $PYINC \
     src/capi.cc -o build32/libarpack_tpu_capi.so $PYLD
 gcc -O2 -DATPU_INTERFACE64=0 -Iinclude tests/test_capi.c \
-    -o build32/test_capi \
+    -o build32/test_capi -lm \
     -Lbuild32 -larpack_tpu_capi -Wl,-rpath,"$(pwd)/build32"
 echo "native ILP32 build OK"

@@ -6,9 +6,15 @@
  * Implementation embeds CPython (native/src/capi.cc); link against
  * libarpack_tpu_capi.so and a matching libpython.
  *
- * Reverse-communication granularity is deliberately not exposed: a host
- * callback per matvec would stall the TPU pipeline; pass the matrix (or
- * use the Python API with a traced operator).
+ * Reverse-communication granularity: per-matvec reverse communication
+ * inside the hot loop is deliberately not reproduced, but the
+ * CAPABILITY — any caller-supplied operator (SRC/dsaupd.f:68-97) — is:
+ * the atpu_*_matvec_* entries take a C function pointer computing
+ * y = A*x plus an opaque context.  Each call crosses device->host->C
+ * and back (exactly the reference's RCI data path, and exactly as
+ * serializing); the solve runs on the hybrid host-reduced-space driver
+ * on the CPU backend by default.  For TPU-speed solves pass the matrix
+ * (or use the Python API with a traced operator).
  *
  * Conventions:
  *  - dense matrices row-major, n*n scalars; CSR uses 64-bit
@@ -33,6 +39,42 @@
 #ifdef __cplusplus
 extern "C" {
 #endif
+
+/* ---- matrix-free (user-operator) entries -------------------------------
+ * The reference's defining C capability (ICB/arpack.h:10-21 + the ido
+ * loop, SRC/dsaupd.f:68-97) as a function-pointer matvec: fn computes
+ * y = A*x for a length-n vector (x is read-only; ctx is passed through
+ * verbatim).  Documented SLOW path: one host round trip per matvec. */
+
+typedef void (*atpu_matvec_d)(atpu_int n, const double *x, double *y,
+                              void *ctx);
+typedef void (*atpu_matvec_s)(atpu_int n, const float *x, float *y,
+                              void *ctx);
+
+atpu_int atpu_eigsh_matvec_d(atpu_int n, atpu_matvec_d op, void *ctx,
+                             atpu_int nev, const char *which, double tol,
+                             atpu_int ncv, atpu_int max_iter,
+                             double *evals, double *evecs,
+                             atpu_int *nconv);
+
+atpu_int atpu_eigsh_matvec_s(atpu_int n, atpu_matvec_s op, void *ctx,
+                             atpu_int nev, const char *which, double tol,
+                             atpu_int ncv, atpu_int max_iter,
+                             float *evals, float *evecs, atpu_int *nconv);
+
+atpu_int atpu_eigs_matvec_d(atpu_int n, atpu_matvec_d op, void *ctx,
+                            atpu_int nev, const char *which, double tol,
+                            atpu_int ncv, atpu_int max_iter,
+                            double *evals_re, double *evals_im,
+                            double *evecs_re, double *evecs_im,
+                            atpu_int *nconv);
+
+atpu_int atpu_eigs_matvec_s(atpu_int n, atpu_matvec_s op, void *ctx,
+                            atpu_int nev, const char *which, double tol,
+                            atpu_int ncv, atpu_int max_iter,
+                            float *evals_re, float *evals_im,
+                            float *evecs_re, float *evecs_im,
+                            atpu_int *nconv);
 
 /* ---- symmetric real ---------------------------------------------------- */
 

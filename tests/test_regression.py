@@ -125,26 +125,25 @@ class TestUserShifts:
             FusedSymSolver(op, cfg, shift_fn=lambda r, b: r)
 
 
-class TestThickSelectiveGuard:
-    """restart='thick' breaks the omega recurrence: reorth='auto' must
-    resolve to 'dgks' there, and an explicit selective+thick combination
-    warns (measured 2.8x, docs/PERF.md round-3)."""
+class TestThickSelective:
+    """Since round 5 the thick restart re-tridiagonalizes the kept block
+    (core/device_sym._retridiagonalize), so reorth='auto' resolves to
+    'selective' for BOTH restart schemes and thick+selective neither
+    warns nor degenerates (the round-3 2.8x arrowhead measurement
+    predates the re-tridiagonalization)."""
 
     def test_auto_resolution(self):
         from arpack_ng_tpu.api import _resolve_sym_reorth
         assert _resolve_sym_reorth("auto", "implicit") == "selective"
-        assert _resolve_sym_reorth("auto", "thick") == "dgks"
+        assert _resolve_sym_reorth("auto", "thick") == "selective"
         assert _resolve_sym_reorth("dgks", "thick") == "dgks"
         assert _resolve_sym_reorth("selective", "implicit") == "selective"
 
-    def test_explicit_selective_thick_warns(self):
+    def test_selective_thick_no_warning_and_converges(self):
         import warnings
-        from arpack_ng_tpu.api import _resolve_sym_reorth
-        with pytest.warns(UserWarning, match="omega recurrence"):
-            out = _resolve_sym_reorth("selective", "thick")
-        assert out == "selective"  # explicit choice is honored
         d = np.linspace(1, 20, 80)
-        with pytest.warns(UserWarning, match="2.8x"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
             vals = at.eigsh(at.from_diagonal(d, n_pad=at.pad_dim(80)),
                             k=3, which="LA", ncv=10, tol=1e-6,
                             maxiter=300, dtype=np.float64,
@@ -152,12 +151,48 @@ class TestThickSelectiveGuard:
                             return_eigenvectors=False)
         np.testing.assert_allclose(np.sort(vals), np.sort(d)[-3:],
                                    rtol=1e-5)
-        with warnings.catch_warnings():
-            warnings.simplefilter("error")  # auto+thick must NOT warn
-            at.eigsh(at.from_diagonal(d, n_pad=at.pad_dim(80)), k=3,
-                     which="LA", ncv=10, tol=1e-6, maxiter=300,
-                     dtype=np.float64, restart="thick",
-                     return_eigenvectors=False)
+
+    def test_thick_selective_event_rate_stays_low(self):
+        # the round-3 arrowhead degeneration fired a reorth event EVERY
+        # step; re-tridiagonalization must keep the selective schedule's
+        # event rate comparable to the implicit restart's
+        import jax as _jax
+        from arpack_ng_tpu import models
+        from arpack_ng_tpu.config import IRAMConfig
+        from arpack_ng_tpu.core.device_sym import FusedSymSolver
+        nx = 16
+        op, _ = models.laplacian_2d(nx, dtype=np.float64)
+        rates = {}
+        for restart in ("implicit", "thick"):
+            cfg = IRAMConfig(n=nx * nx, nev=4, ncv=20, which="LA",
+                             symmetric=True, dtype=np.dtype(np.float64),
+                             n_pad=op.n_pad, tol=1e-10, max_iter=500,
+                             reorth="selective", restart=restart)
+            res = FusedSymSolver(op, cfg).solve()
+            assert res.nconv >= 4
+            c = _jax.device_get(res.state.counts)
+            rates[restart] = int(c.nrorth) / max(int(c.nopx), 1)
+        assert rates["thick"] < 0.9  # NOT one event per step
+        assert rates["thick"] <= rates["implicit"] * 2.0 + 0.2
+
+    def test_thick_selective_basis_defect_bounded(self):
+        from arpack_ng_tpu import models
+        from arpack_ng_tpu.config import IRAMConfig
+        from arpack_ng_tpu.core.device_sym import FusedSymSolver
+        from arpack_ng_tpu.utils import dtypes as _dt
+        import jax as _jax
+        nx = 16
+        for dtype in (np.float32, np.float64):
+            op, _ = models.laplacian_2d(nx, dtype=dtype)
+            cfg = IRAMConfig(n=nx * nx, nev=4, ncv=24, which="LA",
+                             symmetric=True, dtype=np.dtype(dtype),
+                             n_pad=op.n_pad, tol=1e-30, max_iter=30,
+                             reorth="selective", restart="thick")
+            res = FusedSymSolver(op, cfg).solve()
+            V = np.asarray(_jax.device_get(res.state.V), np.float64)
+            V = V.reshape(V.shape[0], -1)
+            defect = np.max(np.abs(V @ V.T - np.eye(cfg.ncv)))
+            assert defect < 64 * np.sqrt(_dt.eps(dtype))
 
 
 class TestComplexShiftRealArithmetic:

@@ -199,3 +199,46 @@ class TestAutoPolicies:
                         reorth="dgks", return_eigenvectors=False)
         np.testing.assert_allclose(np.sort(vals), np.sort(d)[-3:],
                                    rtol=3e-2)
+
+
+class TestPairRuleClean:
+    """pair_rule='clean' (round-4 verdict #6): suppressing the forced
+    follow-up event when both recurrence carriers are already below
+    eta_sub must NOT weaken semi-orthogonality (the bar set by
+    SRC/dsaitr.f:656-781's full reorthogonalization)."""
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_basis_defect_still_bounded(self, dtype):
+        nx = 16
+        op, _ = models.laplacian_2d(nx, dtype=dtype)
+        cfg = IRAMConfig(n=nx * nx, nev=4, ncv=24, which="LA",
+                         symmetric=True, dtype=np.dtype(dtype),
+                         n_pad=op.n_pad, tol=1e-30, max_iter=30,
+                         reorth="selective", pair_rule="clean")
+        res = FusedSymSolver(op, cfg).solve()
+        V = np.asarray(jax.device_get(res.state.V), dtype=np.float64)
+        V = V.reshape(V.shape[0], -1)
+        defect = np.max(np.abs(V @ V.T - np.eye(cfg.ncv)))
+        assert defect < 64 * np.sqrt(_dt.eps(dtype))
+
+    def test_values_match_and_events_not_more(self):
+        nx = 14
+        op, a_sp = models.laplacian_2d(nx, dtype=np.float64)
+        out = {}
+        for rule in ("always", "clean"):
+            cfg = IRAMConfig(n=nx * nx, nev=4, ncv=20, which="LA",
+                             symmetric=True, dtype=np.dtype(np.float64),
+                             n_pad=op.n_pad, tol=1e-10, max_iter=500,
+                             reorth="selective", pair_rule=rule)
+            res = FusedSymSolver(op, cfg).solve()
+            out[rule] = res
+            assert res.nconv >= 4
+        va = np.sort(out["always"].ritz[-4:])
+        vc = np.sort(out["clean"].ritz[-4:])
+        np.testing.assert_allclose(vc, va, rtol=1e-8, atol=1e-10)
+        ca = jax.device_get(out["always"].state.counts)
+        cc = jax.device_get(out["clean"].state.counts)
+        # suppression can only remove events, never add them (per matvec)
+        rate_a = int(ca.nrorth) / max(int(ca.nopx), 1)
+        rate_c = int(cc.nrorth) / max(int(cc.nopx), 1)
+        assert rate_c <= rate_a + 0.05
