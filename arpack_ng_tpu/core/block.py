@@ -203,7 +203,8 @@ def make_block_solver(op: Operator, b: int, nev: int, ncv: int,
 
 def eigsh_block(op_or_a, k: int = 6, *, block_size: int = 2,
                 ncv: Optional[int] = None, tol: float = 0.0,
-                maxiter: int = 200, dtype=None, seed: int = 0):
+                maxiter: int = 200, dtype=None, seed: int = 0,
+                mesh=None):
     """Largest-algebraic eigenpairs by thick-restart block Lanczos
     (experimental; which='LA' only).  Returns (vals ascending, vecs,
     info dict with matvec count).
@@ -233,12 +234,34 @@ def eigsh_block(op_or_a, k: int = 6, *, block_size: int = 2,
     eps23 = _dt.eps23(dt)
     init, cycle, extract, kev = make_block_solver(op, b, k, ncv, dt,
                                                   seed=seed)
-    # hoisted_jit keeps captured operator arrays (DIA diagonals, dense
-    # matrices) out of the lowered module — a 65-diagonal n=1M operator
-    # would otherwise embed ~0.5 GB of literals into the remote compile
-    # request (utils/hoist.py; the relay rejects such modules)
-    jinit = hoisted_jit(init)
-    jcycle = hoisted_jit(cycle, donate_argnums=(0,))
+    if mesh is not None:
+        # PARPACK-style row distribution for the block driver: V panel-
+        # sharded, reduced space replicated (same layout contract as
+        # FusedSymSolver; block contractions over (panel, lane) lower to
+        # psums under jit-with-shardings)
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharding import ROWS, replicated
+        if (op.n_pad // 128) % int(mesh.devices.size):
+            raise ValueError("n_pad/128 must divide the mesh size for "
+                             "the block driver")
+        rep = replicated(mesh)
+        st_sh = BlockState(
+            V=NamedSharding(mesh, P(None, ROWS, None)),
+            H=rep, key=rep, nmv=rep)
+        jinit = _jax.jit(init, in_shardings=(rep,), out_shardings=st_sh)
+        jcycle = _jax.jit(cycle, donate_argnums=(0,),
+                          in_shardings=(st_sh,),
+                          out_shardings=(st_sh, rep, rep))
+    else:
+        # hoisted_jit keeps captured operator arrays (DIA diagonals,
+        # dense matrices) out of the lowered module — a 65-diagonal n=1M
+        # operator would otherwise embed ~0.5 GB of literals into the
+        # remote compile request (utils/hoist.py; the relay rejects
+        # such modules)
+        jinit = hoisted_jit(init)
+        jcycle = hoisted_jit(cycle, donate_argnums=(0,))
     st = jinit(jax.random.key(seed))
     nconv = 0
     for it in range(maxiter):
