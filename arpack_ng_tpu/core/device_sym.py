@@ -293,7 +293,8 @@ def make_sym_tail(op: Operator, cfg: IRAMConfig, user_shifts: bool = False,
         en = jnp.where(jnp.abs(en) <= eps_m * big,
                        jnp.zeros_like(en), en)
         # subdiagonal sign normalization via diagonal similarity
-        sgn = jnp.where(en >= 0, 1.0, -1.0).astype(rdt)
+        # (literals typed rdt so x64 processes don't carry f64 scalars)
+        sgn = jnp.where(en >= 0, jnp.ones((), rdt), -jnp.ones((), rdt))
         phi = jnp.concatenate([jnp.ones((1,), rdt), jnp.cumprod(sgn)])
         en = jnp.abs(en)
         Q = Q * phi[None, :]

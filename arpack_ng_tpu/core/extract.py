@@ -101,11 +101,12 @@ def extract(op: Operator, cfg: IRAMConfig, result: IRAMResult,
     # ---- reduced eigensystem from the final factorization ----
     if sym:
         if getattr(cfg, "restart", "implicit") == "thick":
-            # thick-restart factorizations carry an arrowhead block, not
-            # a tridiagonal: solve the full projected matrix, using the
-            # upper triangle (the computed CGS projections; the lower
-            # subdiagonal holds Lanczos-convention beta writes that do
-            # not apply across a thick restart boundary)
+            # thick restarts re-tridiagonalize since round 5
+            # (device_sym._retridiagonalize), but the full-CGS (dgks)
+            # extension writes full upper-column projections into H, so
+            # the safe general read is the full projected matrix from
+            # the upper triangle (the lower subdiagonal holds Lanczos-
+            # convention beta writes)
             Tfull = np.triu(H.real) + np.triu(H.real, 1).T
             theta_all, Sr = np.linalg.eigh(Tfull)
             bounds_all = np.abs(rnorm * Sr[-1, :])

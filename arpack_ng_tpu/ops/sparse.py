@@ -130,6 +130,17 @@ def structural_diagonals(a: sp.spmatrix) -> int:
                          - coo.row.astype(np.int64)).size)
 
 
+def _psell_groups(a: sp.spmatrix) -> int:
+    """Number of (output-chunk, column-panel) groups a PSELL packing of
+    ``a`` would touch — the x-panel fetch count per matvec (the traffic
+    term orderings are chosen to minimize)."""
+    from . import pallas_psell as ps
+    coo = a.tocoo()
+    g = coo.row.astype(np.int64) // ps.CHUNK
+    q = coo.col.astype(np.int64) // ps.PANEL
+    return int(np.unique(g * (a.shape[1] // ps.PANEL + 2) + q).size)
+
+
 def from_scipy(a: sp.spmatrix, dtype=None, *, hermitian: bool = False,
                n_pad: int = 0, format: str = "auto") -> Operator:
     """Import a scipy sparse matrix as a device operator (mode 1).
@@ -176,12 +187,27 @@ def from_scipy(a: sp.spmatrix, dtype=None, *, hermitian: bool = False,
             if structural_diagonals(ap) <= DIA_MAX_DIAGONALS:
                 a, perm, format = ap.tocsr(), p, "dia"
             else:
-                nnz_row = np.diff(a.indptr)
-                hyb_w95 = max(int(np.ceil(np.percentile(nnz_row, 95))), 1)
-                if int(nnz_row.max()) > HYB_WASTE_FACTOR * hyb_w95:
-                    format = "hyb"
+                import jax as _jax
+                if _jax.default_backend() == "tpu":
+                    # irregular sparsity on TPU: the PSELL panel-tiled
+                    # kernel replaces serial gathers with one-hot MXU
+                    # contractions (round-4 verdict #2: the gather
+                    # formats measured 0.05 Gnnz/s, a 100x cliff vs DIA
+                    # streaming — docs/PERF.md round-4 corpus table).
+                    # Keep whichever ordering (RCM or natural) touches
+                    # fewer (chunk, panel) groups: each group is one
+                    # 64 KB x-panel fetch.
+                    format = "psell"
+                    if _psell_groups(ap) < _psell_groups(a):
+                        a, perm = ap.tocsr(), p
                 else:
-                    format = "ell"
+                    nnz_row = np.diff(a.indptr)
+                    hyb_w95 = max(int(np.ceil(
+                        np.percentile(nnz_row, 95))), 1)
+                    if int(nnz_row.max()) > HYB_WASTE_FACTOR * hyb_w95:
+                        format = "hyb"
+                    else:
+                        format = "ell"
 
     if format == "dia":
         offsets, diags = _to_dia(a)
@@ -215,6 +241,28 @@ def from_scipy(a: sp.spmatrix, dtype=None, *, hermitian: bool = False,
         def matvec(x):
             y = ell_matvec(cols, vals, x)
             return y.at[trows].add(tvals * x[tcols])
+    elif format == "psell":
+        from . import pallas_psell as ps
+        import jax as _jax
+        # the solver's n_pad stays 128-aligned; the PSELL view pads
+        # further to whole chunks internally and trims on the way out
+        pk = ps.pack_psell(a, n_pad=-(-n_pad // ps.CHUNK) * ps.CHUNK)
+        mv_k = ps.make_psell_matvec(
+            pk.vals.shape[0], pk.n_pad, str(np.dtype(a.dtype)),
+            interpret=_jax.default_backend() != "tpu")
+        vals_d = jnp.asarray(pk.vals)
+        meta_d = jnp.asarray(pk.meta)
+        p_d = jnp.asarray(pk.p_idx)
+        c_d = jnp.asarray(pk.c_idx)
+        f_d = jnp.asarray(pk.first)
+        psell_pad = pk.n_pad
+
+        def matvec(x):
+            xin = x
+            if psell_pad != n_pad:
+                xin = jnp.pad(x, (0, psell_pad - n_pad))
+            y = mv_k(vals_d, meta_d, p_d, c_d, f_d, xin)
+            return y[:n_pad]
     elif format == "coo":
         coo = a.tocoo()
         rows = jnp.asarray(coo.row.astype(np.int32))
