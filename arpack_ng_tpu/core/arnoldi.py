@@ -830,7 +830,10 @@ def make_extend(op: Operator, cfg: IRAMConfig, pallas_sel_ok: bool = False):
                   and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
                   and jnp.dtype(sdt) in (jnp.dtype(jnp.float32),
                                          jnp.dtype(jnp.bfloat16))
-                  and n_pad % 128 == 0
+                  # panel blocks need a multiple-of-8 sublane count
+                  # (Mosaic f32 tile); odd panel counts (e.g. n=200k ->
+                  # npan=1563) keep the take path
+                  and n_pad % (128 * 8) == 0
                   and cfg.cgs_kernel != "pallas")  # 2-D layout opt-out
     # fused ||r'||^2 epilogue: standard problems with plain norms only
     fuse_sel_norm = use_sel_pl and not is_g and not cfg.safe_norms

@@ -149,6 +149,115 @@ def pack_psell(a, n_pad: int = 0) -> PSell:
                  n=n, n_pad=n_pad, nnz=int(csr.nnz))
 
 
+class PSellU(NamedTuple):
+    """Uniform-W PSELL packing: a dense (chunks, W) grid of tiles.
+
+    Padding every chunk to the same tile count W turns the per-tile
+    scatter into a dense ``sum over W`` — no scatter-add and no Pallas
+    revisiting protocol — so the whole matvec is expressible as two
+    batched one-hot einsums that XLA fuses (measured 0.6 ns/element,
+    benchmarks/bench_gather_primitives.py).  The Mosaic kernel variant
+    (``make_psell_matvec``) measured 3-5 us/tile of op-latency on the
+    same algebra (rank-3 one-hot dots serialize; docs/PERF.md round-5),
+    so this XLA form is the production path.
+    """
+
+    vals: np.ndarray      # (C*W, TILE)
+    meta: np.ndarray      # (C*W, TILE) int32 packed (see pack_psell)
+    p_idx: np.ndarray     # (C*W,) int32 x-panel per tile
+    W: int
+    n: int
+    n_pad: int            # multiple of CHUNK
+    nnz: int
+
+
+def pack_psell_uniform(a, n_pad: int = 0) -> PSellU:
+    """Pack into the uniform-W (chunks x W tiles) grid (see PSellU)."""
+    import scipy.sparse as sp
+
+    csr = sp.csr_matrix(a)
+    n = csr.shape[0]
+    if n_pad == 0:
+        n_pad = -(-n // CHUNK) * CHUNK
+    if n_pad % CHUNK:
+        raise ValueError(f"n_pad must be a multiple of {CHUNK}")
+    coo = csr.tocoo()
+    r = coo.row.astype(np.int64)
+    c = coo.col.astype(np.int64)
+    v = coo.data
+    g = r // CHUNK
+    q = c // PANEL
+    meta_e = ((((r % CHUNK) // LANE) << 21) | ((r % LANE) << 14)
+              | (((c % PANEL) // LANE) << 7) | (c % LANE)).astype(np.int32)
+    order = np.lexsort((q, g))
+    g, q, v, meta_e = g[order], q[order], v[order], meta_e[order]
+    nch = n_pad // CHUNK
+    qwidth = n_pad // PANEL + 2
+    gq = g * qwidth + q
+    uq, start = np.unique(gq, return_index=True)
+    start = np.sort(start)
+    sizes = np.diff(np.append(start, len(gq)))
+    tpg = -(-sizes // TILE)
+    tiles_per_chunk = np.zeros(nch, np.int64)
+    np.add.at(tiles_per_chunk, (gq[start] // qwidth), tpg)
+    W = max(int(tiles_per_chunk.max()), 1)
+    vals = np.zeros((nch * W, TILE), dtype=v.dtype)
+    meta = np.zeros((nch * W, TILE), dtype=np.int32)
+    p_idx = np.zeros(nch * W, np.int32)
+    slot = np.zeros(nch, np.int64)
+    for gs, sz in zip(start, sizes):
+        chunk = int(g[gs])
+        panel = int(q[gs])
+        for j in range(-(-sz // TILE)):
+            lo = gs + j * TILE
+            m = min(TILE, gs + sz - lo)
+            t = chunk * W + slot[chunk]
+            vals[t, :m] = v[lo:lo + m]
+            meta[t, :m] = meta_e[lo:lo + m]
+            p_idx[t] = panel
+            slot[chunk] += 1
+    return PSellU(vals=vals, meta=meta, p_idx=p_idx, W=W, n=n,
+                  n_pad=n_pad, nnz=int(csr.nnz))
+
+
+def make_psell_matvec_xla(C: int, W: int, n_pad: int, dtype: str):
+    """Pure-XLA uniform-W PSELL matvec (see PSellU): two batched
+    one-hot contractions, dense W-sum, no gather ops anywhere except
+    one 64 KB panel fetch per tile."""
+    import jax
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(dtype)
+    npanels = -(-n_pad // PANEL)
+    hi = jax.lax.Precision.HIGHEST
+    i128 = np.arange(LANE, dtype=np.int32)
+    i8 = np.arange(CHUNK_SUB, dtype=np.int32)
+
+    def matvec(vals, meta, p_idx, x):
+        full = npanels * PANEL
+        if full != n_pad:
+            x = jnp.pad(x, (0, full - n_pad))
+        X3 = x.reshape(npanels, PANEL_SUB, LANE)
+        xp = X3[p_idx]                               # (T,128,128)
+        lane = meta & 0x7F
+        sr = (meta >> 7) & 0x7F
+        lane_o = (meta >> 14) & 0x7F
+        sub = (meta >> 21) & 0x7
+        oh_sr = (sr[:, :, None] == i128).astype(dt)  # (T,TILE,128)
+        rowsel = jnp.einsum("tns,tsl->tnl", oh_sr, xp.astype(dt),
+                            precision=hi)
+        gsel = jnp.sum(rowsel * (lane[:, :, None] == i128).astype(dt),
+                       axis=-1) * vals.astype(dt)    # (T,TILE)
+        gs = gsel[:, :, None] * (sub[:, :, None] == i8).astype(dt)
+        oh_lo = (lane_o[:, :, None] == i128).astype(dt)
+        ytile = jnp.einsum("tns,tnl->tsl", gs, oh_lo,
+                           precision=hi)             # (T,8,128)
+        y = ytile.reshape(C, W, CHUNK_SUB, LANE).sum(axis=1)
+        return y.reshape(-1)
+
+    return matvec
+
+
 @functools.lru_cache(maxsize=None)
 def make_psell_matvec(ntiles: int, n_pad: int, dtype: str,
                       interpret: bool = False):
@@ -175,28 +284,30 @@ def make_psell_matvec(ntiles: int, n_pad: int, dtype: str,
         lane_o = (m >> 14) & 0x7F
         sub = (m >> 21) & 0x7
         xp = x_ref[...].reshape(PANEL_SUB, LANE).astype(dt)  # (128,128)
-        iota_col = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
-        iota_row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_SUB, LANE),
-                                            0)
-        contrib = jnp.zeros((CHUNK_SUB, LANE), dt)
-        # every shape below is (128,128) or (8,128): natural tiles, all
-        # heavy ops on the MXU (one-hot contraction = gather/scatter).
-        for r in range(CHUNK_SUB):
-            # stage 1: gather the 128 entries of metadata row r
-            oh_sr = (sr[r][:, None] == iota_col).astype(dt)   # (128,128)
-            rowsel = jax.lax.dot_general(
-                oh_sr, xp, (((1,), (0,)), ((), ())),
-                preferred_element_type=dt)                    # (128,128)
-            oh_ln = (lane[r][:, None] == iota_col).astype(dt)
-            z_r = jnp.sum(rowsel * oh_ln, axis=1) * v[r]      # (128,)
-            # stage 2: scatter to (sub, lane_o) positions
-            # w[s, j] = z_r[j] iff sub[r, j] == s
-            w = jnp.where(sub[r][None, :] == iota_row, z_r[None, :],
-                          jnp.zeros((), dt))                  # (8,128)
-            oh_lo = (lane_o[r][:, None] == iota_col).astype(dt)
-            contrib = contrib + jax.lax.dot_general(
-                w, oh_lo, (((1,), (0,)), ((), ())),
-                preferred_element_type=dt)                    # (8,128)
+        # all 8 metadata rows processed in BATCHED ops: a first version
+        # unrolled a python loop of (128,128) dots chained through the
+        # accumulator and measured 4.7 us/tile of op-latency; the
+        # batched dot_generals below issue the same FLOPs as single ops.
+        iota3 = jax.lax.broadcasted_iota(jnp.int32,
+                                         (CHUNK_SUB, LANE, LANE), 2)
+        # stage 1: gather — batched one-hot row select then lane select
+        oh_sr = (sr[:, :, None] == iota3).astype(dt)    # (8,128e,128srf)
+        rowsel = jax.lax.dot_general(
+            oh_sr, xp, (((2,), (0,)), ((), ())),
+            preferred_element_type=dt)                  # (8,128e,128l)
+        oh_ln = (lane[:, :, None] == iota3).astype(dt)
+        z = jnp.sum(rowsel * oh_ln, axis=2) * v         # (8,128)
+        # stage 2: scatter — w[r,s,j] = z[r,j] iff sub[r,j]==s, then one
+        # batched (8r; 8s,128j)@(8r; 128j,128lo) contraction + batch sum
+        iota_s = jax.lax.broadcasted_iota(jnp.int32,
+                                          (CHUNK_SUB, CHUNK_SUB, LANE), 1)
+        w = jnp.where(sub[:, None, :] == iota_s, z[:, None, :],
+                      jnp.zeros((), dt))                # (8r,8s,128j)
+        oh_lo = (lane_o[:, :, None] == iota3).astype(dt)  # (8r,128j,128lo)
+        contrib = jax.lax.dot_general(
+            w, oh_lo, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dt)                  # (8r,8s,128lo)
+        contrib = jnp.sum(contrib, axis=0)              # (8,128)
 
         @pl.when(first_ref[t] == 1)
         def _():

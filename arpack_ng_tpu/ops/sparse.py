@@ -141,6 +141,41 @@ def _psell_groups(a: sp.spmatrix) -> int:
     return int(np.unique(g * (a.shape[1] // ps.PANEL + 2) + q).size)
 
 
+def _psell_uniform_tiles(a: sp.spmatrix) -> int:
+    """Total tile count of a uniform-W PSELL packing of ``a`` (chunks x
+    max tiles-per-chunk) — the slot-padding cost orderings minimize."""
+    from . import pallas_psell as ps
+    coo = a.tocoo()
+    n = a.shape[0]
+    g = coo.row.astype(np.int64) // ps.CHUNK
+    q = coo.col.astype(np.int64) // ps.PANEL
+    qw = a.shape[1] // ps.PANEL + 2
+    gq = g * qw + q
+    uq, cnt = np.unique(gq, return_counts=True)
+    tpg = -(-cnt // ps.TILE)
+    nch = -(-n // ps.CHUNK)
+    tpc = np.zeros(nch, np.int64)
+    np.add.at(tpc, uq // qw, tpg)
+    return int(nch * max(tpc.max(), 1))
+
+
+def _deal_perm(a: sp.spmatrix) -> np.ndarray:
+    """Degree-balanced 'deal' permutation: rows sorted by degree and
+    dealt round-robin across output chunks, so hub rows spread evenly
+    (power-law matrices: uniform-W PSELL padding drops from W=max-chunk
+    blowup to ~mean — measured 23128 -> 2744 tiles on the BA corpus
+    matrix)."""
+    from . import pallas_psell as ps
+    n = a.shape[0]
+    deg = np.diff(a.tocsr().indptr)
+    nch = -(-n // ps.CHUNK)
+    order = np.argsort(-deg, kind="stable")
+    pos = (np.arange(n) % nch) * ps.CHUNK + (np.arange(n) // nch)
+    new_index = np.empty(n, np.int64)
+    new_index[order] = pos[:n]
+    return np.argsort(new_index)
+
+
 def from_scipy(a: sp.spmatrix, dtype=None, *, hermitian: bool = False,
                n_pad: int = 0, format: str = "auto") -> Operator:
     """Import a scipy sparse matrix as a device operator (mode 1).
@@ -170,7 +205,11 @@ def from_scipy(a: sp.spmatrix, dtype=None, *, hermitian: bool = False,
     if dtype is not None:
         a = a.astype(dtype)
     n = a.shape[0]
-    n_pad = n_pad or pad_dim(n)
+    # pad to whole 1024-element chunks (not just 128 lanes): the PSELL
+    # view then needs no per-matvec pad/trim, and the (8,128)-tiled
+    # Pallas paths (event kernels, kev-row rotation) stay enabled for
+    # any imported size
+    n_pad = n_pad or pad_dim(n, 1024)
     perm = None
 
     if format == "auto":
@@ -189,17 +228,20 @@ def from_scipy(a: sp.spmatrix, dtype=None, *, hermitian: bool = False,
             else:
                 import jax as _jax
                 if _jax.default_backend() == "tpu":
-                    # irregular sparsity on TPU: the PSELL panel-tiled
-                    # kernel replaces serial gathers with one-hot MXU
-                    # contractions (round-4 verdict #2: the gather
-                    # formats measured 0.05 Gnnz/s, a 100x cliff vs DIA
-                    # streaming — docs/PERF.md round-4 corpus table).
-                    # Keep whichever ordering (RCM or natural) touches
-                    # fewer (chunk, panel) groups: each group is one
-                    # 64 KB x-panel fetch.
+                    # irregular sparsity on TPU: PSELL replaces serial
+                    # gathers with one-hot contractions (round-4
+                    # verdict #2: the gather formats measured
+                    # 0.05 Gnnz/s, a 100x cliff vs DIA streaming —
+                    # docs/PERF.md round-4/5).  Pick the ordering
+                    # (natural, RCM, or degree-deal) that minimizes the
+                    # uniform-W tile count — the padding term of the
+                    # slot-sum formulation.
                     format = "psell"
-                    if _psell_groups(ap) < _psell_groups(a):
-                        a, perm = ap.tocsr(), p
+                    pd = _deal_perm(a)
+                    ad = a[pd][:, pd].tocsr()
+                    cands = [(a, None), (ap.tocsr(), p), (ad, pd)]
+                    costs = [_psell_uniform_tiles(m) for m, _ in cands]
+                    a, perm = cands[int(np.argmin(costs))]
                 else:
                     nnz_row = np.diff(a.indptr)
                     hyb_w95 = max(int(np.ceil(
@@ -243,25 +285,28 @@ def from_scipy(a: sp.spmatrix, dtype=None, *, hermitian: bool = False,
             return y.at[trows].add(tvals * x[tcols])
     elif format == "psell":
         from . import pallas_psell as ps
-        import jax as _jax
         # the solver's n_pad stays 128-aligned; the PSELL view pads
-        # further to whole chunks internally and trims on the way out
-        pk = ps.pack_psell(a, n_pad=-(-n_pad // ps.CHUNK) * ps.CHUNK)
-        mv_k = ps.make_psell_matvec(
-            pk.vals.shape[0], pk.n_pad, str(np.dtype(a.dtype)),
-            interpret=_jax.default_backend() != "tpu")
+        # further to whole chunks internally and trims on the way out.
+        # Uniform-W XLA formulation (make_psell_matvec_xla): measured
+        # faster than the Mosaic tile kernel, which pays ~2 us/tile of
+        # one-hot build cost + 0.8 us/step overhead (docs/PERF.md
+        # round-5); the Mosaic kernel stays available via
+        # make_psell_matvec for future Mosaic generations.
+        pk = ps.pack_psell_uniform(a, n_pad=-(-n_pad // ps.CHUNK)
+                                   * ps.CHUNK)
+        mv_k = ps.make_psell_matvec_xla(
+            pk.n_pad // ps.CHUNK, pk.W, pk.n_pad,
+            str(np.dtype(a.dtype)))
         vals_d = jnp.asarray(pk.vals)
         meta_d = jnp.asarray(pk.meta)
         p_d = jnp.asarray(pk.p_idx)
-        c_d = jnp.asarray(pk.c_idx)
-        f_d = jnp.asarray(pk.first)
         psell_pad = pk.n_pad
 
         def matvec(x):
             xin = x
             if psell_pad != n_pad:
                 xin = jnp.pad(x, (0, psell_pad - n_pad))
-            y = mv_k(vals_d, meta_d, p_d, c_d, f_d, xin)
+            y = mv_k(vals_d, meta_d, p_d, xin)
             return y[:n_pad]
     elif format == "coo":
         coo = a.tocoo()

@@ -96,3 +96,21 @@ def test_from_scipy_psell_operator():
     x = rng.standard_normal(n)
     y = op.matvec(x)
     np.testing.assert_allclose(y, a @ x, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("pattern", ["uniform", "powerlaw", "fem"])
+def test_uniform_matvec_matches_scipy(pattern):
+    rng = np.random.default_rng(4)
+    n = 2500
+    a = _rand_sparse(n, 4e-3, rng, pattern)
+    pk = ps.pack_psell_uniform(a)
+    C = pk.n_pad // ps.CHUNK
+    assert pk.vals.shape[0] == C * pk.W
+    x = rng.standard_normal(pk.n_pad)
+    x[n:] = 0.0
+    mv = ps.make_psell_matvec_xla(C, pk.W, pk.n_pad, "float64")
+    y = np.asarray(mv(jnp.asarray(pk.vals), jnp.asarray(pk.meta),
+                      jnp.asarray(pk.p_idx), jnp.asarray(x)))
+    ref = a @ x[:n]
+    np.testing.assert_allclose(y[:n], ref, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(y[n:], 0.0, atol=1e-300)
