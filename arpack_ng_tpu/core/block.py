@@ -232,6 +232,17 @@ def eigsh_block(op_or_a, k: int = 6, *, block_size: int = 2,
     dt = np.dtype(dtype or op.dtype)
     tol_eff = tol if tol > 0 else _dt.default_tol(dt)
     eps23 = _dt.eps23(dt)
+    # cache compiled solvers per (operator, geometry): repeat calls
+    # (fresh seeds, restarted solves, benchmarks) must not re-trace and
+    # RE-COMPILE the cycle — a minutes-long cost on remote-attached TPUs
+    # that silently polluted the round-4 block A/B walls
+    ck = (id(op), b, k, ncv, str(dt), id(mesh) if mesh is not None
+          else None)
+    cached = _SOLVER_CACHE.get(ck)
+    if cached is not None:
+        init, cycle, extract, kev, jinit, jcycle = cached
+        return _run_block(op, jinit, jcycle, extract, k, kev, b, tol_eff,
+                          eps23, maxiter, seed)
     init, cycle, extract, kev = make_block_solver(op, b, k, ncv, dt,
                                                   seed=seed)
     if mesh is not None:
@@ -262,6 +273,18 @@ def eigsh_block(op_or_a, k: int = 6, *, block_size: int = 2,
         # such modules)
         jinit = hoisted_jit(init)
         jcycle = hoisted_jit(cycle, donate_argnums=(0,))
+    _SOLVER_CACHE[ck] = (init, cycle, extract, kev, jinit, jcycle)
+    return _run_block(op, jinit, jcycle, extract, k, kev, b, tol_eff,
+                      eps23, maxiter, seed)
+
+
+#: compiled block solvers keyed by (operator id, geometry); see
+#: eigsh_block
+_SOLVER_CACHE: dict = {}
+
+
+def _run_block(op, jinit, jcycle, extract, k, kev, b, tol_eff, eps23,
+               maxiter, seed):
     st = jinit(jax.random.key(seed))
     nconv = 0
     for it in range(maxiter):
