@@ -210,16 +210,18 @@ def eigsh_block(op_or_a, k: int = 6, *, block_size: int = 2,
     info dict with matvec count).
 
     .. note:: **When to use blocks** (measured A/B, docs/PERF.md
-       round-4): on this hardware the scalar selective path
-       (:func:`arpack_ng_tpu.eigsh`) is 7-17x FASTER end-to-end on
-       every tested operator class — the current (b, n) block layout
-       puts b on sublanes, so the block matvec runs at 1/8 sublane
-       occupancy, a hole the operator-byte amortization cannot climb
-       out of (the recorded fix is a lane-major b-in-lanes layout).
-       Use ``eigsh_block`` only where it is the only tool: degenerate
-       clusters of multiplicity > 1 (choose ``block_size >=`` the
-       multiplicity), which converge in one sweep while scalar Lanczos
-       provably cannot separate the copies (tests/test_block.py)."""
+       round-5): with the lane-major block apply
+       (ops/sparse.dia_block_matvec_fn) the round-4 sublane-occupancy
+       hole is closed — b=4 TIES the scalar path per matvec on the
+       wide-band amortization-regime operator (12.6 vs 12.4 ms at
+       dia65 n=1M).  What remains is the inherent block-Krylov degree
+       penalty (~3x more matvecs on non-clustered spectra), so the
+       scalar selective path still wins END-TO-END on generic
+       problems.  Use ``eigsh_block`` for degenerate clusters of
+       multiplicity > 1 (choose ``block_size >=`` the multiplicity):
+       they converge in one sweep while scalar Lanczos provably cannot
+       separate the copies (tests/test_block.py), and there the degree
+       penalty vanishes."""
     from ..api import _as_operator
     op = (op_or_a if isinstance(op_or_a, Operator)
           else _as_operator(op_or_a, dtype=dtype, hermitian=True))

@@ -80,7 +80,9 @@ class IRAMSolver:
         self._rdt = _dt.real_dtype(cfg.dtype)
 
         init = make_init(op, cfg, v3d=v_is_3d(cfg, mesh))
-        extend = make_extend(op, cfg)
+        # unsharded solves may use the scalar-prefetch Pallas event
+        # kernels (same gate as FusedSymSolver; no GSPMD rule)
+        extend = make_extend(op, cfg, pallas_sel_ok=mesh is None)
         if mesh is None:
             # hoisted_jit keeps operator data (dense/DIA/banded/ILU
             # arrays) out of the lowered module (utils/hoist.py)
