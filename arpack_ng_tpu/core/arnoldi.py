@@ -360,6 +360,7 @@ def make_extend(op: Operator, cfg: IRAMConfig, pallas_sel_ok: bool = False):
     import os as _os
     _force_full_reorth = bool(_os.environ.get("ARPACK_TPU_FULL_REORTH"))
     _no_pallas_sel = bool(_os.environ.get("ARPACK_TPU_NO_PALLAS_SEL"))
+    _SEL_EXTRA = int(_os.environ.get("ARPACK_TPU_SEL_EXTRA_BUCKET", "0"))
     if mixed and _dt.is_complex(dtype):
         raise ValueError("storage_dtype is supported for real dtypes only")
     rdt = _dt.real_dtype(dtype)
@@ -974,7 +975,8 @@ def make_extend(op: Operator, cfg: IRAMConfig, pallas_sel_ok: bool = False):
                 if _nbuckets == 1 or _force_full_reorth:
                     return mk(ncv)(None)   # debug hatch: all rows
                 bket = jnp.minimum(
-                    jnp.maximum(cnt - 1, 0) // _BUCKET, _nbuckets - 1)
+                    jnp.maximum(cnt - 1, 0) // _BUCKET + _SEL_EXTRA,
+                    _nbuckets - 1)
                 return lax.switch(bket,
                                   [mk(rws) for rws in _bucket_rows], None)
 
