@@ -114,3 +114,28 @@ def test_uniform_matvec_matches_scipy(pattern):
     ref = a @ x[:n]
     np.testing.assert_allclose(y[:n], ref, rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(y[n:], 0.0, atol=1e-300)
+
+
+def test_psell_sharded_solve_cpu_mesh():
+    """The uniform-W PSELL matvec is pure XLA: it must compile and solve
+    under a row-sharded mesh (GSPMD inserts the gathers/collectives) —
+    coverage for mesh users importing irregular matrices."""
+    import jax
+    from arpack_ng_tpu.ops.sparse import from_scipy
+    from arpack_ng_tpu.parallel.sharding import make_mesh
+    import arpack_ng_tpu as at
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    rng = np.random.default_rng(5)
+    n = 4096
+    a = _rand_sparse(n, 3e-3, rng)
+    a = (a + a.T).tocsr()
+    a = a + sp.diags(np.full(n, 10.0))
+    op = from_scipy(a, hermitian=True, format="psell")
+    mesh = make_mesh(4)
+    vals, vecs = at.eigsh(op, k=3, which="LA", ncv=14, tol=1e-8,
+                          maxiter=2000, mesh=mesh)
+    import scipy.sparse.linalg as sla
+    ref = sla.eigsh(a, k=3, which="LA", tol=1e-10,
+                    return_eigenvectors=False)
+    np.testing.assert_allclose(np.sort(vals), np.sort(ref), rtol=1e-6)
