@@ -123,3 +123,49 @@ class TestHaloOperator:
         vals, vecs = at.eigsh(op, k=3, which="LA", tol=1e-9, maxiter=400,
                               mesh=mesh8)
         assert residual(a_sp, vals, vecs).max() < 1e-8
+
+
+class TestCommModel:
+    """Pin the COMMUNICATION MODEL: XLA must insert O(1) collectives per
+    Lanczos step at the reference's algebraic sites — PARPACK's analysis
+    is one allreduce of the CGS coefficient vector plus scalar norm
+    allreduces per step (PARPACK/SRC/MPI/pdsaitr.f:575-610; SURVEY §3.3
+    'comm volume is tiny, latency-bound').  A layout regression that
+    made XLA all-gather the row-sharded basis instead would explode
+    collective COUNT or move to all-gather-dominated comm — this test
+    catches both by inspecting the compiled HLO."""
+
+    def test_extend_collectives_bounded(self, mesh8):
+        import re
+        from arpack_ng_tpu.config import IRAMConfig
+        from arpack_ng_tpu.core.arnoldi import (make_extend, make_init,
+                                                v_is_3d)
+        from arpack_ng_tpu.parallel.sharding import (replicated,
+                                                     state_shardings)
+        import jax.numpy as jnp
+
+        op, _ = models.laplacian_2d(32, dtype=np.float64)
+        cfg = IRAMConfig(n=op.n, nev=4, ncv=16, which="LA",
+                         symmetric=True, dtype=np.dtype(np.float64),
+                         n_pad=op.n_pad, tol=1e-8, max_iter=50,
+                         reorth="dgks")
+        init = make_init(op, cfg, v3d=v_is_3d(cfg, mesh8))
+        extend = make_extend(op, cfg)
+        st_sh = state_shardings(mesh8, v3d=v_is_3d(cfg, mesh8))
+        rep = replicated(mesh8)
+        st = jax.jit(lambda k: init(k, None), in_shardings=(rep,),
+                     out_shardings=st_sh)(jax.random.key(0))
+        fn = jax.jit(lambda s: extend(s, jnp.int32(cfg.ncv)),
+                     in_shardings=(st_sh,), out_shardings=st_sh)
+        hlo = fn.lower(st).compile().as_text()
+        n_ar = len(re.findall(r"all-reduce", hlo))
+        n_ag = len(re.findall(r"all-gather", hlo))
+        # the ncv-step extension contains a DGKS while_loop; the
+        # all-reduce count must stay O(1) per algebraic site (CGS
+        # coeffs, wnorm, rnorm, refinement), NOT O(ncv) unrolled and
+        # NOT replaced by basis-sized all-gathers
+        assert n_ar >= 1, "no all-reduces: solve is not actually sharded"
+        assert n_ar <= 40, f"collective explosion: {n_ar} all-reduces"
+        assert n_ag <= n_ar, (
+            f"all-gather-dominated comm ({n_ag} vs {n_ar}): the basis "
+            "is being gathered instead of reduced")
