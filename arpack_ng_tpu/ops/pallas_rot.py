@@ -60,12 +60,20 @@ def make_rotate(ncv: int, npan: int, v_dtype: str, acc_dtype: str,
         raise ValueError(f"npan={npan} needs a multiple-of-8 panel block")
     grid = (npan // P,)
 
+    # precision: f32 operands need the HIGHEST pin (the default
+    # truncates MXU inputs toward bf16 — the ghost-Ritz failure,
+    # docs/PERF.md round-4); bf16 operands are exact on the MXU and
+    # Mosaic REJECTS an fp32-precision pin on them ("Bad lhs type")
+    prec = (jax.lax.Precision.HIGHEST
+            if vdt == jnp.dtype(jnp.float32) else
+            jax.lax.Precision.DEFAULT)
+
     def kernel(q_ref, v_ref, o_ref):
         q = q_ref[...]                     # (ncv, ncv)
         blk = v_ref[...].reshape(ncv, P * LANE)
         out = jax.lax.dot_general(q, blk, (((0,), (0,)), ((), ())),
                                   preferred_element_type=adt,
-                                  precision=jax.lax.Precision.HIGHEST)
+                                  precision=prec)
         o_ref[...] = out.reshape(ncv, P, LANE).astype(vdt)
 
     return pl.pallas_call(
@@ -110,12 +118,16 @@ def make_rotate_rows(ncv: int, rows: int, npan: int, v_dtype: str,
         raise ValueError(f"npan={npan} needs a multiple-of-8 panel block")
     grid = (npan // P,)
 
+    prec = (jax.lax.Precision.HIGHEST
+            if vdt == jnp.dtype(jnp.float32) else
+            jax.lax.Precision.DEFAULT)  # see make_rotate precision note
+
     def kernel(q_ref, v_ref, o_ref):
         q = q_ref[...]                     # (ncv, rows)
         blk = v_ref[...].reshape(ncv, P * LANE)
         out = jax.lax.dot_general(q, blk, (((0,), (0,)), ((), ())),
                                   preferred_element_type=adt,
-                                  precision=jax.lax.Precision.HIGHEST)
+                                  precision=prec)
         o_ref[...] = out.reshape(rows, P, LANE).astype(vdt)
 
     return pl.pallas_call(
