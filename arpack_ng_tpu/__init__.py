@@ -29,7 +29,7 @@ from .core.iram import IRAMResult, IRAMSolver
 from .core.svd import svds
 from .ops.operator import Operator, from_dense, from_diagonal, from_matvec
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 
 def enable_compile_cache(path: str = ".jax_cache") -> None:

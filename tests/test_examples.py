@@ -52,6 +52,8 @@ EXAMPLE_ARGS = {
     "zndrv1.py": [],
     "svd.py": [],
     "distributed_laplacian.py": [],
+    "validate_f64.py": [],
+    "irregular_sparse.py": ["6000"],
 }
 
 
