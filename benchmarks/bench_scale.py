@@ -23,7 +23,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_one(nx, ncv, nev, storage, cycles):
+def bench_one(nx, ncv, nev, storage, cycles, reorth="dgks"):
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +35,7 @@ def bench_one(nx, ncv, nev, storage, cycles):
     cfg = IRAMConfig(n=op.n, nev=nev, ncv=ncv, which="LA", symmetric=True,
                      dtype=np.dtype(np.float32), tol=1e-30,
                      n_pad=op.n_pad, max_iter=100_000,
-                     storage_dtype=storage)
+                     storage_dtype=storage, reorth=reorth)
     s = FusedSymSolver(op, cfg)
     st = s.init_state(jax.random.key(5))
     out = s._multi(st, jnp.int32(2), jnp.int32(100_000))
@@ -72,21 +72,28 @@ def main():
     ncv, nev = 32, 8
     sizes = [64, 128] if args.small else [1024, 2048, 4096]
     print(f"platform={jax.devices()[0].platform}  ncv={ncv} nev={nev}")
-    print("| n | storage | V resident | ms/cycle | ms/cycle/Mpt |")
+    print("| n | config | V resident | ms/cycle | ms/cycle/Mpt |")
     print("|---|---|---|---|---|")
     for nx in sizes:
         n = nx * nx
         cycles = 12 if nx >= 4096 else 20
-        for storage in (None, "bfloat16"):
+        # dgks f32/bf16 rows (same algorithm at every n, apples-to-apples)
+        # + the PRODUCTION configuration (selective reorth + event
+        # kernels, round 5) to show the flagship path scales
+        combos = [(None, "dgks", "f32 dgks"),
+                  ("bfloat16", "dgks", "bf16 dgks"),
+                  (None, "selective", "f32 PRODUCTION")]
+        for storage, reorth, label in combos:
             isz = 2 if storage else 4
             vgb = ncv * n * isz / 1e9
             try:
-                per, cyc, mv, dt = bench_one(nx, ncv, nev, storage, cycles)
+                per, cyc, mv, dt = bench_one(nx, ncv, nev, storage,
+                                             cycles, reorth=reorth)
             except Exception as e:
-                print(f"| {n} | {storage or 'f32'} | {vgb:.2f} GB | "
+                print(f"| {n} | {label} | {vgb:.2f} GB | "
                       f"FAILED {type(e).__name__} | |")
                 continue
-            print(f"| {n:>9} | {storage or 'f32':8s} | {vgb:5.2f} GB | "
+            print(f"| {n:>9} | {label:14s} | {vgb:5.2f} GB | "
                   f"{per*1e3:7.1f} | {per*1e3/(n/1e6):6.2f} |",
                   flush=True)
 
