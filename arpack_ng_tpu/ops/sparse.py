@@ -2,19 +2,25 @@
 
 The reference's sparse story lives in user code (RCI matvecs) and in the
 Eigen-based C++ layer (``EigSMxS`` sparse matrices read from MatrixMarket,
-arpackSolver.hpp:176-215).  Here sparse matrices are first-class operators:
+arpackSolver.hpp:176-215).  Here sparse matrices are first-class
+operators, imported through a STRUCTURE-FIRST decision tree
+(:func:`from_scipy`, measured on-hardware — docs/PERF.md):
 
-* :class:`ELLOperator` — sliced-ELLPACK layout (rows padded to a fixed
-  per-row nnz budget): on TPU the gather of ``x[cols]`` vectorizes and the
-  row reduction is a dense masked sum — the format of choice for
-  bandwidth-bound SpMV on wide-SIMD hardware (cf. the SELL-C-sigma
-  literature; PAPERS.md).  This is the default import path for scipy
-  matrices.
-* :func:`coo_matvec` — scatter-add fallback for extremely irregular
-  matrices.
+* dense (one MXU matmul) for small n;
+* DIA shift-multiply streaming when the structural diagonal count is
+  bounded — directly or after RCM reordering (the TPU-optimal form:
+  no gathers, pure VPU streams); DIA operators also carry the
+  lane-major BLOCK apply (:func:`dia_block_matvec_fn`, round 5);
+* PSELL (ops/pallas_psell.py, round 5) for irregular sparsity on TPU:
+  panel-tiled one-hot contractions replace serial gathers (FEM /
+  power-law classes at 0.6 Gnnz/s vs 0.05 for gather formats), with
+  RCM or degree-deal (:func:`_deal_perm`) ordering chosen by packing
+  cost;
+* gather-ELL / hybrid ELL+COO (Bell & Garland) on backends without the
+  TPU gather penalty; scatter-add COO as the last resort.
 
-A Pallas DIA kernel (ops/pallas_dia.py) is the explicit-control variant of
-the diagonal-streaming path for future fusion work.
+A Pallas DIA kernel (ops/pallas_dia.py) is the explicit-control variant
+of the diagonal-streaming path for future fusion work.
 """
 from __future__ import annotations
 

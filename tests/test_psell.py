@@ -139,3 +139,22 @@ def test_psell_sharded_solve_cpu_mesh():
     ref = sla.eigsh(a, k=3, which="LA", tol=1e-10,
                     return_eigenvectors=False)
     np.testing.assert_allclose(np.sort(vals), np.sort(ref), rtol=1e-6)
+
+
+def test_psell_nonsym_eigs():
+    """PSELL is dtype/symmetry-agnostic: a non-symmetric irregular
+    matrix solves through eigs with scipy parity."""
+    import scipy.sparse.linalg as sla
+    import arpack_ng_tpu as at
+    from arpack_ng_tpu.ops.sparse import from_scipy
+    rng = np.random.default_rng(9)
+    n = 3000
+    a = _rand_sparse(n, 3e-3, rng)
+    a = (a + sp.diags(5.0 + rng.random(n))).tocsr()
+    op = from_scipy(a, hermitian=False, format="psell")
+    vals = at.eigs(op, k=3, which="LM", ncv=18, tol=1e-8, maxiter=2000,
+                   return_eigenvectors=False)
+    ref = sla.eigs(a, k=3, which="LM", tol=1e-10,
+                   return_eigenvectors=False)
+    np.testing.assert_allclose(np.sort_complex(vals),
+                               np.sort_complex(ref), rtol=1e-6)
