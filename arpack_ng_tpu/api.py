@@ -42,13 +42,30 @@ def _as_operator(A, dtype=None, hermitian=False) -> Operator:
 
 def _solve(op: Operator, cfg: IRAMConfig, v0, return_eigenvectors,
            return_stats, shift_fn=None, mesh=None, strategy="auto",
-           select=None):
+           select=None, validate=None, raw_A=None, raw_M=None):
     solver = _make_solver(op, cfg, shift_fn, mesh, strategy)
     res = solver.solve(v0=v0)
     if res.info < 0:
         raise ArpackError(res.info)
-    out = extract(op, cfg, res, rvec=return_eigenvectors,
+    out = extract(op, cfg, res,
+                  rvec=return_eigenvectors or validate is not None,
                   howmny="S" if select is not None else "A", select=select)
+    if validate is not None:
+        if callable(validate):
+            out.validation = _f64_validate(None, None, out, cfg,
+                                           matvec64=validate)
+        elif validate == "f64":
+            if raw_A is None or isinstance(raw_A, Operator):
+                raise ValueError(
+                    "validate='f64' needs a concrete matrix input; for "
+                    "a matrix-free Operator pass validate=<f64 matvec "
+                    "callable> instead")
+            out.validation = _f64_validate(raw_A, raw_M, out, cfg)
+        else:
+            raise ValueError("validate must be None, 'f64', or a "
+                             "float64 matvec callable")
+        if not return_eigenvectors:
+            out.vectors = None
     if res.info in (1, 2) and select is None and out.nconv < cfg.nev:
         raise ArpackNoConvergence(out, cfg)
     if return_eigenvectors:
@@ -281,8 +298,15 @@ def eigsh(
     reorth: str = "auto",
     select=None,
     shift_fn=None,
+    validate=None,
 ):
     """Symmetric/Hermitian eigensolver (dsaupd/dseupd equivalent).
+
+    ``validate='f64'`` (or a float64 matvec callable): re-apply the
+    converged pairs through a float64 operator and attach an
+    :class:`F64Validation` report (see :func:`eigs`; for symmetric —
+    i.e. normal — operators there is no pseudospectrum hazard, so this
+    is a pure backward-error report).
 
     ``shift_fn(ritz_unwanted, bounds_unwanted) -> shifts``: caller-
     supplied implicit shifts (the reference's ishift=0 / ido=3 protocol,
@@ -327,7 +351,9 @@ def eigsh(
         cgs_kernel=cgs_kernel, restart=restart, reorth=reorth)
     return _solve(op, cfg, v0, return_eigenvectors, return_stats,
                   shift_fn=shift_fn, mesh=mesh, strategy=strategy,
-                  select=select)
+                  select=select, validate=validate,
+                  raw_A=None if isinstance(A, Operator) else A,
+                  raw_M=M)
 
 
 def eigs(

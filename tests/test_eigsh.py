@@ -154,3 +154,29 @@ class TestStats:
         assert st.nopx > 0
         assert st.n_iter >= 1
         assert st.n_conv >= 3
+
+
+class TestEigshValidate:
+    """eigsh(..., validate='f64'): backward-error report for symmetric
+    solves (round-5 API symmetry with eigs)."""
+
+    def test_f64_report(self):
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((200, 200)).astype(np.float32)
+        a = a + a.T
+        vals, vecs, out = at.eigsh(a, k=4, which="LA", tol=1e-4,
+                                   validate="f64", return_stats=True)
+        rep = out.validation
+        assert rep is not None and rep.passed
+        assert rep.nonnormality < 1e-5   # symmetric => normal
+        assert rep.residuals.shape == (len(vals),)
+
+    def test_matrix_free_needs_callable(self):
+        op = at.from_diagonal(np.arange(1.0, 65.0))
+        with pytest.raises(ValueError, match="matrix-free"):
+            at.eigsh(op, k=3, tol=1e-8, validate="f64")
+        d64 = np.arange(1.0, 65.0)
+        vals, _, out = at.eigsh(op, k=3, which="LM", tol=1e-8,
+                                validate=lambda v: d64 * v,
+                                return_stats=True)
+        assert out.validation.passed
