@@ -33,7 +33,25 @@ DGKS_ETA = 0.717
 #: ``rnorm <= SELECTIVE_SAFETY * sqrt(eps) * wnorm`` — the same test shape
 #: as DGKS (SRC/dsaitr.f:656) with the threshold derived from the actual
 #: orthogonality requirement instead of the worst-case 0.717.
-SELECTIVE_SAFETY = 8.0
+SELECTIVE_SAFETY = 6.0
+# Default = 6 since round 5, from the measured margin/perf A/B on the
+# n=1M flagship (docs/PERF.md round-5 safety table): at 8 the final
+# basis defect was 1.85e-4 (46% under the sqrt(eps)=3.45e-4
+# semi-orthogonality bar) at 21.5 Gnnz/s; at 6: 2.06e-4 (40% margin) at
+# 22.6; at 4: 3.42e-4 — 0.8% under the bar, NO margin — at 25.4.  6
+# keeps essentially the full margin and ~5% of the 4-setting's win;
+# 4 is the zero-headroom trap the round-4 precision bug taught us to
+# refuse.  The knob below is a measurement hatch (read at import, like
+# the other build-time hatches); values < 1 put the trigger ABOVE the
+# bar and are clamped.
+import os as _os
+
+_s = _os.environ.get("ARPACK_TPU_SELECTIVE_SAFETY")
+if _s:
+    try:
+        SELECTIVE_SAFETY = max(float(_s), 1.0)
+    except ValueError:
+        pass
 
 
 def selective_eta(dtype) -> float:
